@@ -1,0 +1,122 @@
+"""Crawl configuration — the politeness / scope / budget knobs.
+
+Defaults mirror the semantics studied in the reference (cited per field;
+see SURVEY.md §2.2):
+
+- politeness snooze clamp: ``delayFactor=5.0``, ``minDelayMs=3000``,
+  ``maxDelayMs=30000`` (crawler-beans.cxml:362-368)
+- robots Crawl-delay honored up to 300 s (crawler-beans.cxml:365);
+  effective wait = max(config wait, Crawl-delay)
+  (bitextor/bitextor_wget.py:148-155)
+- scope: maxHops=20, maxPathDepth=20, maxRepetitions=2
+  (crawler-beans.cxml:131-186); maxOutlinks=6000 (:413)
+- budgets: balanceReplenishAmount=3000, errorPenaltyAmount=100
+  (crawler-beans.cxml:399-428)
+- retry: maxRetries=30, retryDelaySeconds=900 (crawler-beans.cxml:410-411)
+- host blacklist substrings (bitextor/Snakefile:99-100)
+
+Everything is data, not wall-clock: the engine runs on a *virtual clock*
+so crawl order is exactly reproducible at any parallelism level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_BLACKLIST = (
+    "wordpress",
+    "blogspot",
+    "facebook",
+    "google",
+    "wikipedia",
+    "youtube",
+    "perehodi",
+    "twitter",
+    "instagram",
+)
+
+ALLOWED_SCHEMES = ("http", "https")
+
+# Query params stripped by canonicalization (Heritrix StripSessionIDs /
+# StripSessionCFIDs semantics, crawler-beans.cxml:555-570).
+SESSION_PARAMS = (
+    "jsessionid",
+    "phpsessid",
+    "sid",
+    "sessionid",
+    "session_id",
+    "cfid",
+    "cftoken",
+    "aspsessionid",
+)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness (virtual milliseconds)
+    min_delay_ms: int = 3000
+    delay_factor: float = 5.0
+    max_delay_ms: int = 30000
+    respect_crawl_delay_up_to_s: int = 300
+
+    # scope
+    max_hops: int = 20
+    max_path_depth: int = 20
+    max_repetitions: int = 2
+    max_outlinks: int = 6000
+    blacklist_hosts: tuple[str, ...] = DEFAULT_BLACKLIST
+
+    # budgets / retry
+    replenish_per_epoch: int = 3000  # per-host fetches allowed per epoch
+    error_penalty: int = 100  # budget units deducted per failed fetch
+    max_retries: int = 30
+    retry_delay_ms: int = 900_000
+
+    # crawl limits (C12): loop termination
+    max_fetches: int = 1_000_000
+    max_epochs: int = 1000
+
+    # virtual-clock epoch window
+    epoch_window_ms: int = 600_000
+
+    # default duration charged for URLs that resolve to nothing (404)
+    default_fetch_ms: int = 100
+
+    # engine partitioning
+    num_host_shards: int = 32
+    bloom_bits_per_shard: int = 1 << 20  # 128 KiB per shard
+    bloom_num_hashes: int = 5
+
+    # payload verification
+    psnr_threshold_db: float = 40.0
+
+    seed: int = 42
+
+    def effective_delay_ms(self, fetch_ms: int, crawl_delay_s: int) -> int:
+        """Politeness wait after a fetch on a host.
+
+        clamp(delay_factor × duration, min, max), then raised to the robots
+        Crawl-delay (itself capped at respect_crawl_delay_up_to_s). The
+        max() rule is bitextor_wget.py:148-155; the clamp is
+        crawler-beans.cxml:362-368.
+        """
+        snooze = int(self.delay_factor * fetch_ms)
+        snooze = max(self.min_delay_ms, min(self.max_delay_ms, snooze))
+        capped_cd_ms = min(crawl_delay_s, self.respect_crawl_delay_up_to_s) * 1000
+        return max(snooze, capped_cd_ms)
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """Deterministic synthetic-world generator parameters (FIXTURES.md)."""
+
+    n_hosts: int = 20
+    n_pages: int = 5000
+    mega_host_frac: float = 0.5  # share of pages on host 0 (skew case)
+    mean_outlinks: int = 8
+    image_frac: float = 0.6
+    fail_frac: float = 0.04  # pages returning 5xx
+    seed: int = 42
+    img_min_side: int = 16
+    img_max_side: int = 64
+    jpeg_frac: float = 0.5

