@@ -1,0 +1,508 @@
+"""The distributed frontier engine — wave-based crawl as DataFrame plans.
+
+One epoch = one Spark job pipeline:
+
+  queued frontier ──(per-host top-k prefix)──► schedulable candidates
+     ⋈ pages (status/duration)  ⋈ robots (broadcast)  ⋈ host_state
+     ──groupBy(host).applyInPandas(politeness walk)──► fetch events
+     ──window(order by start,host,url)──► fetch_log seq (exact order)
+     events ⋈ pages.outlinks ──explode──► raw links
+     ──resolve+canonicalize (Arrow UDF)──► candidates
+     ──scope rules (JVM exprs)──► in/out + per-host reject metrics
+     ──wave dedup (window rank)──► unique new URLs
+     ──bloom prefilter + exact anti-join vs frontier──► admitted
+     ──► frontier ∪ admitted ; snapshot commit (atomic manifest)
+
+Parallelism-independence: every nondeterministic boundary is closed by an
+explicit total order — per-host queue order (hop, url_canon), global fetch
+order (fetch_start_ms, host, url_canon), discoverer rank for lineage
+(fetch_start_ms, disc host, disc url). The same crawl therefore produces
+byte-identical fetch logs at local[1] and local[32] — evidenced against
+the single-threaded simulator in tests/test_frontier_parity.py.
+
+Skew: the per-host top-k prefix bounds any mega-host's contribution to an
+epoch at the politeness ceiling (window_ms / min_delay + retries), so the
+applyInPandas group for the hottest host is O(hundreds) of rows no matter
+how many billions of its URLs are queued; the bloom shards are uniform by
+url-hash. Frontier state lives in snapshot tables (sources/snapshots.py);
+every epoch is resumable (kill → rerun uncommitted epoch, identical by the
+virtual clock).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bitextor_spark.config import CrawlConfig
+from bitextor_spark.frontier import seen as seen_mod
+from bitextor_spark.frontier.politeness import QueueEntry, schedule_host
+from bitextor_spark.plans.scope import apply_scope
+from bitextor_spark.functions.urls import (
+    canonicalize_udf,
+    registered_domain_udf,
+    resolve_outlink_udf,
+)
+from bitextor_spark.sources.snapshots import SnapshotCatalog
+
+FRONTIER_SCHEMA = (
+    "url_hash long, url_canon string, host string, hop int, seed_id int, "
+    "state string, retry_count int, not_before_ms long, discovered_epoch int"
+)
+EVENT_SCHEMA = (
+    "url_hash long, url_canon string, host string, hop int, seed_id int, "
+    "retry_count int, fetch_start_ms long, fetch_ms int, status int, "
+    "outcome string, new_next_allowed long"
+)
+HOST_STATE_SCHEMA = "host string, next_allowed_ms long"
+METRIC_COLS = ("fetched", "errors", "skipped_seen", "skipped_scope", "queued")
+
+
+def _host_col(url_col):
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    fetched: int
+    attempts: int
+    new_urls: int
+    queued_remaining: int
+
+
+class FrontierEngine:
+    """Drives the crawl loop over snapshot-table state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        catalog_root: str,
+        pages: DataFrame,
+        robots: DataFrame,
+        seeds: DataFrame,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = SnapshotCatalog(catalog_root)
+        self.robots = robots.cache()
+        self.seeds = seeds
+        self.use_bloom = use_bloom
+        # pages is the fetch target: co-partition once by url_canon so the
+        # per-epoch fetch join is a local join against this cached layout.
+        self.pages = pages.repartition(
+            spark.conf.get("spark.sql.shuffle.partitions", None) and
+            int(spark.conf.get("spark.sql.shuffle.partitions")) or 32,
+            "url_canon",
+        ).cache()
+
+    # ------------------------------------------------------------------ #
+    # bootstrap / resume                                                  #
+    # ------------------------------------------------------------------ #
+
+    def bootstrap(self) -> None:
+        """Seed the frontier (epoch 0) unless a snapshot already exists."""
+        if self.catalog.latest_snapshot_id() is not None:
+            return
+        cfg = self.cfg
+        s = (
+            self.seeds.withColumn("url_canon", canonicalize_udf("seed_url"))
+            .filter(F.col("url_canon").isNotNull())
+            .withColumn("host", _host_col(F.col("url_canon")))
+            .withColumn("reg_domain", registered_domain_udf("host"))
+        )
+        seed_domains = s.select("reg_domain").distinct()
+        self._seed_domains = seed_domains.cache()
+        scoped = apply_scope(
+            s.withColumn("hop", F.lit(0)), seed_domains, self.robots, cfg
+        ).filter(F.col("in_scope"))
+        w = Window.partitionBy("url_canon").orderBy("seed_id")
+        frontier = (
+            scoped.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.xxhash64("url_canon").alias("url_hash"),
+                "url_canon",
+                "host",
+                F.lit(0).alias("hop"),
+                F.col("seed_id").cast("int"),
+                F.lit("QUEUED").alias("state"),
+                F.lit(0).alias("retry_count"),
+                F.lit(0).cast("long").alias("not_before_ms"),
+                F.lit(0).alias("discovered_epoch"),
+            )
+        )
+        host_state = frontier.select("host").distinct().withColumn(
+            "next_allowed_ms", F.lit(0).cast("long")
+        )
+        replace = {"frontier": frontier, "host_state": host_state,
+                   "seed_domains": seed_domains}
+        if self.use_bloom:
+            blooms = seen_mod.update_blooms(
+                seen_mod.empty_blooms(self.spark, cfg.num_host_shards,
+                                      cfg.bloom_bits_per_shard),
+                frontier.select("url_hash"),
+                cfg.num_host_shards, cfg.bloom_bits_per_shard,
+                cfg.bloom_num_hashes,
+            )
+            replace["blooms"] = blooms
+        self.catalog.commit(
+            replace=replace,
+            meta={"epoch": 0, "total_fetched": 0, "seq_offset": 0,
+                  "queued": frontier.count(), "done": False},
+        )
+
+    def _load(self, name: str) -> DataFrame:
+        df = self.catalog.read(self.spark, name)
+        assert df is not None, f"missing state table {name}"
+        return df
+
+    def meta(self) -> dict[str, Any]:
+        m = self.catalog.load_manifest()
+        return m["meta"] if m else {}
+
+    # ------------------------------------------------------------------ #
+    # one epoch                                                           #
+    # ------------------------------------------------------------------ #
+
+    def run_epoch(self) -> EpochStats:
+        cfg = self.cfg
+        meta = self.meta()
+        epoch = int(meta["epoch"])
+        seq_offset = int(meta["seq_offset"])
+        total_fetched = int(meta["total_fetched"])
+        epoch_start = epoch * cfg.epoch_window_ms
+        epoch_end = epoch_start + cfg.epoch_window_ms
+
+        frontier = self._load("frontier")
+        host_state = self._load("host_state")
+        seed_domains = self._load("seed_domains")
+
+        queued = frontier.filter(
+            (F.col("state") == "QUEUED") & (F.col("not_before_ms") < epoch_end)
+        )
+
+        # --- per-host schedulable prefix (bounds mega-host skew) ---
+        k_cap = min(cfg.replenish_per_epoch,
+                    cfg.epoch_window_ms // max(cfg.min_delay_ms, 1) + 2)
+        w_host = Window.partitionBy("host").orderBy("hop", "url_canon")
+        immediate = (
+            queued.filter(F.col("not_before_ms") <= epoch_start)
+            .withColumn("rn", F.row_number().over(w_host))
+            .filter(F.col("rn") <= k_cap)
+            .drop("rn")
+        )
+        blocked = queued.filter(F.col("not_before_ms") > epoch_start)
+        cand = immediate.unionByName(blocked)
+
+        # --- resolve against the web (synthetic fetch = join on url_canon) ---
+        cand = (
+            cand.join(
+                self.pages.select(
+                    "url_canon",
+                    F.col("status").alias("page_status"),
+                    F.col("fetch_ms").alias("page_fetch_ms"),
+                ),
+                "url_canon",
+                "left",
+            )
+            .withColumn("status", F.coalesce("page_status", F.lit(404)))
+            .withColumn(
+                "fetch_ms",
+                F.coalesce("page_fetch_ms", F.lit(cfg.default_fetch_ms)),
+            )
+            .drop("page_status", "page_fetch_ms")
+            .join(F.broadcast(self.robots.select("host", "crawl_delay_s")),
+                  "host", "left")
+            .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0)))
+            .join(F.broadcast(host_state), "host", "left")
+            .withColumn("next_allowed_ms",
+                        F.coalesce("next_allowed_ms", F.lit(0)))
+        )
+
+        # --- politeness walk per host (Arrow-batched groups) ---
+        def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+            host = pdf["host"].iloc[0]
+            entries = [
+                QueueEntry(r.url_canon, int(r.hop), int(r.seed_id),
+                           int(r.retry_count), int(r.not_before_ms),
+                           int(r.status), int(r.fetch_ms))
+                for r in pdf.itertuples()
+            ]
+            events, cursor = schedule_host(
+                entries, int(pdf["next_allowed_ms"].iloc[0]),
+                int(pdf["crawl_delay_s"].iloc[0]), epoch_start, epoch_end, cfg,
+            )
+            if not events:
+                return pd.DataFrame(
+                    columns=["url_hash", "url_canon", "host", "hop", "seed_id",
+                             "retry_count", "fetch_start_ms", "fetch_ms",
+                             "status", "outcome", "new_next_allowed"]
+                )
+            hmap = dict(zip(pdf["url_canon"], pdf["url_hash"]))
+            return pd.DataFrame(
+                {
+                    "url_hash": [hmap[e.url_canon] for e in events],
+                    "url_canon": [e.url_canon for e in events],
+                    "host": host,
+                    "hop": [e.hop for e in events],
+                    "seed_id": [e.seed_id for e in events],
+                    "retry_count": [e.retry_count for e in events],
+                    "fetch_start_ms": [e.fetch_start_ms for e in events],
+                    "fetch_ms": [e.fetch_ms for e in events],
+                    "status": [e.status for e in events],
+                    "outcome": [e.outcome for e in events],
+                    "new_next_allowed": cursor,
+                }
+            )
+
+        events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA).cache()
+
+        # --- exact global order → fetch_log sequence numbers ---
+        w_seq = Window.orderBy("fetch_start_ms", "host", "url_canon")
+        fetch_log = events.withColumn(
+            "seq", F.row_number().over(w_seq) - 1 + seq_offset
+        ).withColumn("epoch", F.lit(epoch)).drop("new_next_allowed")
+
+        outcome_counts = {
+            r["outcome"]: r["count"]
+            for r in events.groupBy("outcome").count().collect()
+        }
+        n_attempts = sum(outcome_counts.values())
+        n_fetched = outcome_counts.get("FETCHED", 0)
+
+        # --- host_state update ---
+        new_cursor = events.groupBy("host").agg(
+            F.max("new_next_allowed").alias("cursor")
+        )
+        host_state_new = (
+            host_state.join(new_cursor, "host", "full")
+            .select(
+                "host",
+                F.greatest(
+                    F.coalesce("next_allowed_ms", F.lit(0)),
+                    F.coalesce("cursor", F.lit(0)),
+                ).alias("next_allowed_ms"),
+            )
+        )
+
+        # --- frontier transitions for attempted entries ---
+        updates = events.select(
+            "url_hash",
+            F.col("outcome").alias("_outcome"),
+            F.col("fetch_start_ms").alias("_start"),
+        )
+        frontier_updated = (
+            frontier.join(updates, "url_hash", "left")
+            .select(
+                "url_hash", "url_canon", "host", "hop", "seed_id",
+                F.when(F.col("_outcome") == "FETCHED", "FETCHED")
+                .when(F.col("_outcome") == "FAILED", "FAILED")
+                .otherwise(F.col("state"))
+                .alias("state"),
+                (
+                    F.col("retry_count")
+                    + F.when(F.col("_outcome") == "RETRY", 1).otherwise(0)
+                ).cast("int").alias("retry_count"),
+                F.when(
+                    F.col("_outcome") == "RETRY",
+                    F.col("_start") + cfg.retry_delay_ms,
+                ).otherwise(F.col("not_before_ms")).cast("long")
+                .alias("not_before_ms"),
+                "discovered_epoch",
+            )
+        )
+
+        # --- discovery: explode outlinks of successful 2xx fetches ---
+        fetched_pages = (
+            events.filter(
+                (F.col("outcome") == "FETCHED")
+                & (F.col("status") >= 200) & (F.col("status") < 300)
+            )
+            .select("url_canon", "hop", "seed_id", "fetch_start_ms",
+                    F.col("host").alias("disc_host"))
+            .join(self.pages.select("url_canon", "outlinks"), "url_canon")
+        )
+        raw_links = (
+            fetched_pages.select(
+                F.col("url_canon").alias("disc_url"),
+                "hop", "seed_id", "fetch_start_ms", "disc_host",
+                F.explode(F.slice("outlinks", 1, cfg.max_outlinks)).alias("link"),
+            )
+            .withColumn("cand_canon", resolve_outlink_udf("disc_url", "link"))
+            .filter(F.col("cand_canon").isNotNull())
+            # within-page dedup (mirrors the simulator's page_seen set)
+            .dropDuplicates(["disc_url", "cand_canon"])
+        )
+        candidates = (
+            raw_links.select(
+                F.col("cand_canon").alias("url_canon"),
+                (F.col("hop") + 1).cast("int").alias("hop"),
+                "seed_id", "fetch_start_ms", "disc_host", "disc_url",
+            )
+            .withColumn("host", _host_col(F.col("url_canon")))
+            .withColumn("reg_domain", registered_domain_udf("host"))
+        )
+        scoped = apply_scope(candidates, seed_domains, self.robots, cfg).cache()
+        scope_rejects = (
+            scoped.filter(~F.col("in_scope"))
+            .groupBy("host").count()
+            .withColumnRenamed("count", "skipped_scope")
+        )
+
+        # --- wave dedup: first discoverer in global fetch order wins ---
+        in_scope = scoped.filter(F.col("in_scope"))
+        w_disc = Window.partitionBy("url_canon").orderBy(
+            "fetch_start_ms", "disc_host", "disc_url"
+        )
+        ranked = in_scope.withColumn("rnk", F.row_number().over(w_disc))
+        wave_dupes = (
+            ranked.filter(F.col("rnk") > 1)
+            .groupBy("host").count()
+            .withColumnRenamed("count", "dupe_seen")
+        )
+        unique_cands = (
+            ranked.filter(F.col("rnk") == 1)
+            .select("url_canon", "host", "hop", "seed_id")
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+        ).cache()
+
+        # --- seen check: bloom prefilter + exact anti-join ---
+        if self.use_bloom:
+            blooms = self._load("blooms")
+            flagged = seen_mod.flag_maybe_seen(
+                unique_cands, blooms, cfg.num_host_shards,
+                cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+            ).cache()
+            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            really_new = maybe.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            )
+            admitted = definitely_new.unionByName(really_new)
+        else:
+            admitted = unique_cands.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            )
+        admitted = admitted.cache()
+
+        seen_hits = (
+            unique_cands.join(frontier.select("url_hash"), "url_hash", "left_semi")
+            .groupBy("host").count()
+            .withColumnRenamed("count", "seen_dupe")
+        )
+
+        new_rows = admitted.select(
+            "url_hash", "url_canon", "host", "hop", "seed_id",
+            F.lit("QUEUED").alias("state"),
+            F.lit(0).alias("retry_count"),
+            F.lit(0).cast("long").alias("not_before_ms"),
+            F.lit(epoch + 1).alias("discovered_epoch"),
+        )
+
+        frontier_next = frontier_updated.unionByName(new_rows)
+        host_state_next = (
+            host_state_new.join(
+                new_rows.select("host").distinct(), "host", "full"
+            ).select(
+                "host", F.coalesce("next_allowed_ms", F.lit(0)).alias("next_allowed_ms")
+            )
+        )
+
+        # --- metrics (C17): per-host counters for this epoch ---
+        ev_counts = events.groupBy("host").agg(
+            F.sum(F.when(F.col("outcome") == "FETCHED", 1).otherwise(0)).alias("fetched"),
+            F.sum(F.when(F.col("outcome") != "FETCHED", 1).otherwise(0)).alias("errors"),
+        )
+        queued_counts = new_rows.groupBy("host").count().withColumnRenamed(
+            "count", "queued"
+        )
+        metrics = (
+            ev_counts.join(scope_rejects, "host", "full")
+            .join(wave_dupes, "host", "full")
+            .join(seen_hits, "host", "full")
+            .join(queued_counts, "host", "full")
+            .select(
+                F.lit(epoch).alias("epoch"),
+                "host",
+                F.coalesce("fetched", F.lit(0)).alias("fetched"),
+                F.coalesce("errors", F.lit(0)).alias("errors"),
+                (
+                    F.coalesce("dupe_seen", F.lit(0))
+                    + F.coalesce("seen_dupe", F.lit(0))
+                ).alias("skipped_seen"),
+                F.coalesce("skipped_scope", F.lit(0)).alias("skipped_scope"),
+                F.coalesce("queued", F.lit(0)).alias("queued"),
+            )
+        )
+        # the per-host metrics table is tiny: collect once, reuse for both
+        # the stats AND the write (avoids running the 5-way join DAG twice)
+        metric_schema = metrics.schema
+        m_rows = metrics.collect()
+        n_new = sum(r["queued"] for r in m_rows)
+        metrics_local = self.spark.createDataFrame(m_rows, metric_schema)
+
+        # --- commit ---
+        replace = {"frontier": frontier_next, "host_state": host_state_next}
+        if self.use_bloom and n_new > 0:
+            replace["blooms"] = seen_mod.update_blooms(
+                self._load("blooms"), admitted.select("url_hash"),
+                cfg.num_host_shards, cfg.bloom_bits_per_shard,
+                cfg.bloom_num_hashes,
+            )
+        # queued' = queued − terminal attempts + newly admitted (no extra scan)
+        n_terminal = n_fetched + outcome_counts.get("FAILED", 0)
+        prev_queued = meta.get("queued")
+        if prev_queued is None:
+            prev_queued = frontier.filter(F.col("state") == "QUEUED").count()
+        queued_remaining = int(prev_queued) - n_terminal + n_new
+        self.catalog.commit(
+            replace=replace,
+            append={"fetch_log": fetch_log, "metrics": metrics_local},
+            meta={
+                "epoch": epoch + 1,
+                "seq_offset": seq_offset + n_attempts,
+                "total_fetched": total_fetched + n_fetched,
+                "queued": queued_remaining,
+                "done": queued_remaining == 0
+                or total_fetched + n_fetched >= cfg.max_fetches,
+            },
+        )
+        for df in (events, scoped, unique_cands, admitted):
+            df.unpersist()
+        return EpochStats(epoch, n_fetched, n_attempts, n_new, queued_remaining)
+
+    # ------------------------------------------------------------------ #
+    # full crawl                                                          #
+    # ------------------------------------------------------------------ #
+
+    def run(self, max_epochs: int | None = None) -> list[EpochStats]:
+        self.bootstrap()
+        stats: list[EpochStats] = []
+        limit = max_epochs if max_epochs is not None else self.cfg.max_epochs
+        while True:
+            meta = self.meta()
+            if meta.get("done") or int(meta["epoch"]) >= limit:
+                break
+            st = self.run_epoch()
+            stats.append(st)
+            if st.attempts == 0 and st.queued_remaining == 0:
+                break
+        return stats
+
+    # convenience readers -------------------------------------------------
+
+    def fetch_log(self) -> DataFrame:
+        return self._load("fetch_log").orderBy("seq")
+
+    def frontier(self) -> DataFrame:
+        return self._load("frontier")
+
+    def metrics(self) -> DataFrame:
+        return self._load("metrics")

@@ -1,0 +1,269 @@
+"""Deterministic synthetic web worlds (FIXTURES.md §2-§4).
+
+Two generators:
+
+- ``small_world(WorldConfig)`` — driver-side Python objects used by BOTH
+  the reference simulator and the Spark engine parity tests. Exercises the
+  full semantic surface: messy URLs (canonicalization dedup), a mega-host
+  (skew), cross-host links in/out of seed scope, blacklisted platforms,
+  mailto/js schemes, >max_path_depth paths, pathological segment repeats,
+  robots disallow prefixes + Crawl-delay spread (incl. >300 s clamp),
+  5xx pages (retry policy), and per-host BFS fan-out.
+
+- ``spark_world(spark, n_pages, ...)`` — a distributed generator built
+  from ``spark.range`` + JVM expressions only (no driver materialization),
+  for throughput benchmarks at millions of pages over a 10^10 virtual URL
+  space.
+
+No external data; everything derives from the seed.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitextor_spark.config import WorldConfig
+
+
+@dataclass
+class Page:
+    url_canon: str
+    host: str
+    outlinks: list[str]
+    image_id: str | None
+    fetch_ms: int
+    status: int
+
+
+@dataclass
+class World:
+    pages: dict[str, Page]  # keyed by url_canon
+    robots: dict[str, tuple[int, list[str]]]  # host -> (crawl_delay_s, disallow)
+    seeds: list[str]  # messy, non-canonical on purpose
+    cfg: WorldConfig = field(default_factory=WorldConfig)
+
+
+def _messy(rng: random.Random, canon: str) -> str:
+    """Decorate a canonical URL so canonicalization has work to do."""
+    scheme, rest = canon.split("://", 1)
+    host, _, path = rest.partition("/")
+    path = "/" + path
+    r = rng.random()
+    if r < 0.2:
+        host = "www." + host
+    elif r < 0.3:
+        host = host.upper()
+    elif r < 0.4:
+        host = host + ":80" if scheme == "http" else host
+    if rng.random() < 0.25:
+        sep = "&" if "?" in path else "?"
+        path += f"{sep}PHPSESSID={rng.randrange(1 << 30):x}"
+    if rng.random() < 0.2:
+        path += "#frag" + str(rng.randrange(100))
+    if rng.random() < 0.15:
+        scheme = scheme.upper()
+    return f"{scheme}://{host}{path}"
+
+
+def small_world(cfg: WorldConfig | None = None) -> World:
+    cfg = cfg or WorldConfig()
+    rng = random.Random(cfg.seed)
+
+    hosts = []
+    for i in range(cfg.n_hosts):
+        if i == 0:
+            hosts.append("mega.ex0.com")
+        elif i % 7 == 3:
+            hosts.append(f"site{i}.ex{i}.co.uk")
+        elif i % 5 == 2:
+            hosts.append(f"blog.site{i}.ex{i}.com")  # subdomain, same reg-domain
+        else:
+            hosts.append(f"site{i}.ex{i}.com")
+
+    # page allocation: mega host gets mega_host_frac of all pages
+    n_mega = int(cfg.n_pages * cfg.mega_host_frac)
+    alloc: list[tuple[str, int]] = []
+    for i, h in enumerate(hosts):
+        if i == 0:
+            alloc.append((h, n_mega))
+        else:
+            rest = cfg.n_pages - n_mega
+            alloc.append((h, max(2, rest // (cfg.n_hosts - 1))))
+
+    # robots: varied crawl delays incl. 0 and >300s (clamp case); disallow
+    robots: dict[str, tuple[int, list[str]]] = {}
+    for i, h in enumerate(hosts):
+        delay = [0, 0, 1, 2, 5, 400][i % 6]
+        disallow = ["/private"] if i % 3 == 0 else []
+        robots[h] = (delay, disallow)
+
+    # canonical URL space per host
+    host_urls: dict[str, list[str]] = {}
+    for h, n in alloc:
+        urls = []
+        for k in range(n):
+            if k % 11 == 7:
+                path = f"/a/b/p{k}.html"  # nested
+            elif k % 13 == 9:
+                path = f"/private/p{k}.html"  # robots-disallowed on some hosts
+            else:
+                path = f"/p{k}.html"
+            urls.append(f"http://{h}{path}")
+        host_urls[h] = urls
+
+    all_hosts = list(host_urls)
+    pages: dict[str, Page] = {}
+    img_counter = 0
+    for hi, h in enumerate(all_hosts):
+        urls = host_urls[h]
+        for k, u in enumerate(urls):
+            outlinks: list[str] = []
+            # same-host BFS fan-out (relative + messy absolute)
+            fan = rng.randint(1, cfg.mean_outlinks)
+            for _ in range(fan):
+                tgt = urls[rng.randrange(len(urls))]
+                if rng.random() < 0.5:
+                    outlinks.append(tgt.rsplit("/", 1)[1])  # relative
+                else:
+                    outlinks.append(_messy(rng, tgt))
+            # duplicates of the same target under different spellings
+            if rng.random() < 0.3:
+                tgt = urls[rng.randrange(len(urls))]
+                outlinks.append(_messy(rng, tgt))
+                outlinks.append(_messy(rng, tgt))
+            # cross-host (some in seed scope, some not)
+            if rng.random() < 0.35:
+                oh = all_hosts[rng.randrange(len(all_hosts))]
+                outlinks.append(_messy(rng, host_urls[oh][rng.randrange(len(host_urls[oh]))]))
+            # off-scope noise
+            if rng.random() < 0.25:
+                outlinks.append(
+                    rng.choice(
+                        [
+                            "mailto:someone@example.com",
+                            "javascript:void(0)",
+                            "http://www.facebook.com/share?u=1",
+                            "http://cool.blogspot.com/post1",
+                            "http://x.wordpress.com/p",
+                            "ftp://files.ex.com/f.zip",
+                            "http://" + h + "/" + "/".join(["d"] * 25) + "/deep.html",
+                            "http://" + h + "/x/x/x/rep.html",
+                        ]
+                    )
+                )
+            status = 500 if rng.random() < cfg.fail_frac else 200
+            image_id = None
+            if rng.random() < cfg.image_frac:
+                image_id = f"img_{img_counter:08d}"
+                img_counter += 1
+            pages[u] = Page(
+                url_canon=u,
+                host=h,
+                outlinks=outlinks,
+                image_id=image_id,
+                fetch_ms=rng.randint(50, 2000),
+                status=status,
+            )
+
+    # seeds: first page of ~60% of hosts, messy on purpose
+    seed_hosts = [h for i, h in enumerate(all_hosts) if i % 5 != 4]
+    seeds = [_messy(rng, host_urls[h][0]) for h in seed_hosts]
+    return World(pages=pages, robots=robots, seeds=sorted(seeds), cfg=cfg)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side DataFrames of the same world (for the engine).
+# ---------------------------------------------------------------------------
+
+def world_to_dfs(spark: SparkSession, world: World) -> dict[str, DataFrame]:
+    pages_rows = [
+        (p.url_canon, p.host, p.outlinks, p.image_id, p.fetch_ms, p.status)
+        for p in world.pages.values()
+    ]
+    pages = spark.createDataFrame(
+        pages_rows,
+        "url_canon string, host string, outlinks array<string>, "
+        "image_id string, fetch_ms int, status int",
+    )
+    robots = spark.createDataFrame(
+        [(h, d, dis) for h, (d, dis) in world.robots.items()],
+        "host string, crawl_delay_s int, disallow_prefixes array<string>",
+    )
+    seeds = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(world.seeds)], "seed_url string, seed_id int"
+    )
+    return {"pages": pages, "robots": robots, "seeds": seeds}
+
+
+def spark_world(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 1000,
+    mega_host_frac: float = 0.3,
+    mean_outlinks: int = 12,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Distributed synthetic world for benchmarks — pure JVM expressions.
+
+    URL space is virtual: page i lives on a host drawn from a skewed
+    distribution (host 0 holds ``mega_host_frac``), links are generated from
+    a seeded hash of (i, j) so the graph is deterministic without any
+    driver-side materialization. Scales to 10^8+ pages on a cluster; the
+    10^10 frontier is this same generator with a wider id range.
+    """
+    mega = int(1.0 / max(mega_host_frac, 1e-9))
+
+    def host_idx_of(idc):
+        # deterministic host assignment; host 0 is the mega-host
+        r = F.xxhash64(idc, F.lit(seed))
+        return F.when(F.pmod(r, F.lit(mega)) == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(r), F.lit(n_hosts - 1)) + 1
+        )
+
+    def url_of(idc):
+        # URL derives from the target's own host so outlinks/seeds resolve
+        return F.concat(
+            F.lit("http://h"), host_idx_of(idc), F.lit(".bench.com/p"),
+            idc, F.lit(".html"),
+        )
+
+    df = (
+        spark.range(n_pages)
+        .withColumn("_r", F.xxhash64(F.col("id"), F.lit(seed)))
+        .withColumn("host", F.concat(F.lit("h"), host_idx_of(F.col("id")), F.lit(".bench.com")))
+        .withColumn("url_canon", url_of(F.col("id")))
+        .withColumn(
+            "outlinks",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(mean_outlinks)),
+                lambda j: url_of(F.pmod(F.xxhash64(F.col("id"), j), F.lit(n_pages))),
+            ),
+        )
+        .withColumn("image_id", F.concat(F.lit("img_"), F.col("id")))
+        .withColumn("fetch_ms", (F.pmod(F.col("_r"), F.lit(1950)) + 50).cast("int"))
+        .withColumn(
+            "status",
+            F.when(F.pmod(F.xxhash64("_r", F.lit(7)), F.lit(25)) == 0, 500)
+            .otherwise(200),
+        )
+        .select("url_canon", "host", "outlinks", "image_id", "fetch_ms", "status")
+    )
+    robots = (
+        spark.range(n_hosts)
+        .withColumn("host", F.concat(F.lit("h"), F.col("id"), F.lit(".bench.com")))
+        .withColumn("crawl_delay_s", F.pmod("id", F.lit(4)).cast("int"))
+        .withColumn("disallow_prefixes", F.array().cast("array<string>"))
+        .select("host", "crawl_delay_s", "disallow_prefixes")
+    )
+    n_seeds = min(n_pages, 1000)
+    seeds = (
+        spark.range(n_seeds)
+        .withColumn("seed_url", url_of(F.col("id")))
+        .withColumn("seed_id", F.col("id").cast("int"))
+        .select("seed_url", "seed_id")
+    )
+    return {"pages": df, "robots": robots, "seeds": seeds}

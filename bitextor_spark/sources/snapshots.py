@@ -1,0 +1,132 @@
+"""Snapshot-table catalog: atomic, resumable state for the crawl engine.
+
+Iceberg-style semantics on a plain filesystem: every epoch commits a
+*manifest* (JSON, written atomically via ``os.replace``) that pins, for each
+state table, the exact set of parquet paths composing it. Readers resolve
+the latest committed manifest — a crashed/killed run leaves at most orphan
+data files that no manifest references, so resume simply re-runs the
+uncommitted epoch deterministically (virtual clock ⇒ identical schedule, no
+politeness violation, no double-fetch of *committed* work). This mirrors
+the reference's resume models: Heritrix CheckpointService
+(crawler-beans.cxml:541-547) and Snakemake's file-existence resume
+(Snakefile:602-632).
+
+Two table flavors:
+- ``replace`` tables (frontier, host_state): each commit rewrites the full
+  table; the manifest points at the newest snapshot directory only.
+- ``append`` tables (fetch_log, metrics): each commit adds one delta
+  directory; the manifest lists all deltas, read as a union.
+
+On a cluster with the Iceberg runtime jar this class is swapped for real
+Iceberg tables (``df.writeTo(...).append()`` / ``.createOrReplace()``); the
+manifest/commit semantics here are deliberately the same shape so the swap
+is a connector change, not an engine change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifests")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- manifest resolution -------------------------------------------------
+
+    def _manifest_ids(self) -> list[int]:
+        ids = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                ids.append(int(f[len("manifest-"):-len(".json")]))
+        return sorted(ids)
+
+    def latest_snapshot_id(self) -> int | None:
+        ids = self._manifest_ids()
+        return ids[-1] if ids else None
+
+    def load_manifest(self, snapshot_id: int | None = None) -> dict[str, Any] | None:
+        if snapshot_id is None:
+            snapshot_id = self.latest_snapshot_id()
+        if snapshot_id is None:
+            return None
+        path = os.path.join(self.manifest_dir, f"manifest-{snapshot_id}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
+    # -- commit --------------------------------------------------------------
+
+    def commit(
+        self,
+        replace: dict[str, DataFrame] | None = None,
+        append: dict[str, DataFrame] | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        """Write data files, then atomically publish the manifest.
+
+        Tables not mentioned carry forward from the previous manifest.
+        """
+        prev = self.load_manifest()
+        snap_id = (prev["snapshot_id"] + 1) if prev else 0
+        tables: dict[str, dict[str, Any]] = (
+            {k: dict(v) for k, v in prev["tables"].items()} if prev else {}
+        )
+
+        for name, df in (replace or {}).items():
+            rel = f"{name}/snap-{snap_id:06d}"
+            df.write.mode("overwrite").parquet(os.path.join(self.data_dir, rel))
+            tables[name] = {"kind": "replace", "paths": [rel]}
+
+        for name, df in (append or {}).items():
+            rel = f"{name}/delta-{snap_id:06d}"
+            df.write.mode("overwrite").parquet(os.path.join(self.data_dir, rel))
+            entry = tables.get(name, {"kind": "append", "paths": []})
+            entry["paths"] = list(entry["paths"]) + [rel]
+            tables[name] = entry
+
+        manifest = {
+            "snapshot_id": snap_id,
+            "committed_at": time.time(),
+            "tables": tables,
+            "meta": meta or {},
+            "parent": prev["snapshot_id"] if prev else None,
+        }
+        tmp = os.path.join(self.manifest_dir, f".manifest-{snap_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.manifest_dir, f"manifest-{snap_id}.json"))
+        return snap_id
+
+    # -- read ----------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, name: str, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        manifest = self.load_manifest(snapshot_id)
+        if manifest is None or name not in manifest["tables"]:
+            return None
+        paths = [
+            os.path.join(self.data_dir, rel)
+            for rel in manifest["tables"][name]["paths"]
+        ]
+        return spark.read.parquet(*paths)
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for sid in self._manifest_ids():
+            m = self.load_manifest(sid)
+            out.append(
+                {"snapshot_id": sid, "meta": m["meta"], "parent": m["parent"]}
+            )
+        return out

@@ -1,0 +1,153 @@
+"""E2E parity: the distributed engine must reproduce the reference
+simulator EXACTLY — crawl order, URL-seen set, per-host metrics — and be
+resumable from any committed snapshot (BASELINE.json correctness gate;
+the analog of the reference's golden-output md5 comparison,
+tests/common.sh:27-60).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitextor_spark.config import CrawlConfig, WorldConfig
+from bitextor_spark.frontier.engine import FrontierEngine
+from bitextor_spark.frontier.simulator import simulate
+from bitextor_spark.frontier.world import small_world, world_to_dfs
+
+N_EPOCHS = 6
+
+CFG = CrawlConfig(
+    max_epochs=N_EPOCHS, max_retries=2, replenish_per_epoch=300, num_host_shards=8
+)
+WORLD_CFG = WorldConfig(n_hosts=6, n_pages=150)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return small_world(WORLD_CFG)
+
+
+@pytest.fixture(scope="module")
+def sim(world):
+    return simulate(world, CFG)
+
+
+@pytest.fixture(scope="module")
+def no_aqe(spark):
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _log_tuples_engine(eng):
+    return [
+        (r.epoch, r.fetch_start_ms, r.host, r.url_canon, r.hop, r.seed_id,
+         r.retry_count, r.status, r.outcome)
+        for r in eng.fetch_log().collect()
+    ]
+
+
+def _log_tuples_sim(sim):
+    return [
+        (e.epoch, e.fetch_start_ms, e.host, e.url_canon, e.hop, e.seed_id,
+         e.retry_count, e.status, e.outcome)
+        for e in sim.fetch_log
+    ]
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, world, no_aqe):
+    dfs = world_to_dfs(spark, world)
+    root = tempfile.mkdtemp(prefix="frontier_parity_")
+    eng = FrontierEngine(
+        spark, CFG, root, dfs["pages"], dfs["robots"], dfs["seeds"], use_bloom=True
+    )
+    eng.run(max_epochs=N_EPOCHS)
+    yield eng
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_exact_crawl_order(engine_run, sim):
+    assert _log_tuples_engine(engine_run) == _log_tuples_sim(sim)
+
+
+def test_url_seen_set(engine_run, sim):
+    eng_seen = {
+        r.url_canon for r in engine_run.frontier().select("url_canon").collect()
+    }
+    assert eng_seen == sim.seen
+
+
+def test_metrics_parity(engine_run, sim):
+    got = collections.defaultdict(collections.Counter)
+    for r in engine_run.metrics().collect():
+        for k in ("fetched", "errors", "skipped_seen", "skipped_scope", "queued"):
+            got[r.host][k] += r[k]
+    want = {h: {k: v for k, v in c.items()} for h, c in sim.metrics.items()}
+    got = {h: dict(c) for h, c in got.items()}
+    # drop all-zero hosts on both sides (engine omits hosts with no events)
+    want = {h: c for h, c in want.items() if any(c.values())}
+    got = {h: c for h, c in got.items() if any(c.values())}
+    assert got == want
+
+
+def test_politeness_invariant(engine_run, world):
+    """Consecutive fetch starts per host respect the effective delay
+    (min-delay clamp raised to the robots Crawl-delay, C1/C9)."""
+    byh = collections.defaultdict(list)
+    for r in engine_run.fetch_log().collect():
+        byh[r.host].append(r)
+    for host, evs in byh.items():
+        evs.sort(key=lambda r: r.fetch_start_ms)
+        delay_s = world.robots.get(host, (0, []))[0]
+        for a, b in zip(evs, evs[1:]):
+            min_gap = a.fetch_ms + CFG.effective_delay_ms(a.fetch_ms, delay_s)
+            assert b.fetch_start_ms - a.fetch_start_ms >= min_gap, host
+
+
+def test_retries_and_scope_exercised(sim):
+    """World sanity: the fixture actually exercises retry + scope paths."""
+    outcomes = collections.Counter(e.outcome for e in sim.fetch_log)
+    assert outcomes["RETRY"] > 0
+    assert sum(m["skipped_scope"] for m in sim.metrics.values()) > 0
+    assert sum(m["skipped_seen"] for m in sim.metrics.values()) > 0
+
+
+def test_resume_from_snapshot(spark, world, sim, no_aqe):
+    """Kill after epoch 2, resume in a NEW engine instance: identical crawl.
+
+    Also drops an orphan data directory (as a crash mid-epoch-3 would) to
+    show uncommitted files are invisible to the resumed run (C14)."""
+    dfs = world_to_dfs(spark, world)
+    root = tempfile.mkdtemp(prefix="frontier_resume_")
+    try:
+        eng1 = FrontierEngine(
+            spark, CFG, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+            use_bloom=True,
+        )
+        eng1.run(max_epochs=2)
+        assert int(eng1.meta()["epoch"]) == 2
+
+        # crash artifacts: an orphan (uncommitted) frontier snapshot
+        orphan = os.path.join(root, "data", "frontier", "snap-000099")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "garbage.parquet"), "wb") as fh:
+            fh.write(b"not a parquet file")
+
+        eng2 = FrontierEngine(
+            spark, CFG, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+            use_bloom=True,
+        )
+        eng2.run(max_epochs=N_EPOCHS)  # resumes from snapshot, runs 4 more
+        assert _log_tuples_engine(eng2) == _log_tuples_sim(sim)
+        seen = {r.url_canon for r in eng2.frontier().select("url_canon").collect()}
+        assert seen == sim.seen
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
