@@ -1,0 +1,184 @@
+"""Deduplication family: exact, minhash-LSH, simhash, n-gram Jaccard,
+embedding-cosine — the operators a 100 TB training-data pipeline runs over
+crawl output.
+
+Reference semantics: sort-based first-per-group dedup with URL collection
+(bitextor_build_TMX.py:222-344, keys per Snakefile:1824-1831, presort
+Snakefile:1543-1608 → A5), content-hash dedup across crawls
+(bitextor_warc2preprocess.py mmh3 block → C15).
+
+Scale notes (100 TB):
+- exact dedup is a hash shuffle on the dedup key — AQE skew-split handles
+  hot keys; the key is a fixed-width hash, never the payload.
+- minhash-LSH: signatures are computed per-row (narrow), candidate pairs
+  come from an equi-join on (band, band_hash) buckets — the classic
+  shingle→minhash→band→bucket-join; no all-pairs product ever forms.
+- simhash pairs: self-join on a 16-bit prefix block of the simhash first
+  (standard bit-block pigeonhole trick) would bound candidates at scale;
+  at test scale we join on a crossable key set and filter by hamming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bitextor_spark.functions.hashes import MINHASH_SALTS, h64
+from bitextor_spark.functions.text import tokens
+
+
+def first_per_group(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """A5: collapse groups to their best row + group size."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    cw = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count(F.lit(1)).over(cw).cast("bigint"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def token_hashes(text_col: Column) -> Column:
+    """Distinct-token 60-bit hashes (set semantics)."""
+    return F.transform(F.array_distinct(tokens(text_col)), h64)
+
+
+def minhash_signature(text_col: Column, n_hashes: int | None = None) -> Column:
+    """Array of minhashes: min over tokens of (h64(token) XOR salt_i)."""
+    ths = token_hashes(text_col)
+    salts = MINHASH_SALTS if n_hashes is None else MINHASH_SALTS[:n_hashes]
+
+    def xor_with(salt: int):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda h: h.bitwiseXOR(F.lit(salt))
+
+    return F.array(
+        *[F.array_min(F.transform(ths, xor_with(s))) for s in salts]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate duplicate pairs: docs sharing ≥1 LSH band.
+
+    bands of r = n_hashes/n_bands minhashes each; band key = md5 of the
+    ':'-joined band. Returns distinct (doc_a < doc_b).
+    """
+    r = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[F.col("sig")[b * r + i].cast("string")
+                                  for i in range(r)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bh")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_col(text_col: Column, bits: int = 32) -> Column:
+    """Simhash over distinct tokens: bit b set iff Σ±1 over token-hash bit b
+    is positive. JVM-only (aggregate over the token-hash array)."""
+    ths = token_hashes(text_col)
+
+    def bit_counter(bb: int):
+        # closure factory: F.aggregate requires an exactly-2-arg lambda
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << bb)) != 0, 1
+        ).otherwise(-1)
+
+    terms = []
+    for b in range(bits):
+        cnt = F.aggregate(ths, F.lit(0), bit_counter(b))
+        terms.append(F.when(cnt > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("bigint")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 10
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_dist."""
+    sh = df.select(F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    dist = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            dist.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: Column,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard via the shingle equi-join (never all-pairs):
+    explode distinct shingles → self-join on shingle → |∩| per pair →
+    J = |∩| / (|A|+|B|−|∩|) ≥ threshold."""
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingle_col)).alias("sh")
+    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        ex.alias("l")
+        .join(ex.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

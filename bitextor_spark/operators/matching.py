@@ -1,0 +1,72 @@
+"""Document matching: greedy 1:1 sweep (W3) and bidirectional
+mutually-best converge matching (W4).
+
+Reference: greedy sweep over score-sorted pairs, skipping any pair whose
+doc is already matched (document-aligner/docalign.cpp:424-462, with the
+deterministic idx-desc tiebreak); bidirectional best-match with converge
+iterations (bitextor/docalign/bitextor_align_documents.py:36-365).
+
+W4 is the distributed algorithm: each iteration is two windows + a join +
+an anti-join (pure DataFrame ops), converging in O(log) rounds in
+practice. W3's global sweep is inherently sequential — it runs as a
+single sorted pass (mapPartitions over one sorted partition) and exists as
+the exactness oracle for small inputs; at scale the converge matching is
+the operator of record, as in the reference (`-i converge`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def greedy_one_to_one(pairs: DataFrame) -> DataFrame:
+    """Greedy sweep over (src, trg, score): best score first, deterministic
+    (score desc, src, trg) order; a pair is kept iff neither side matched.
+    Single-pass sequential semantics — executed on one sorted partition."""
+    schema = "src bigint, trg bigint, score double"
+
+    def sweep(rows):
+        taken_src, taken_trg = set(), set()
+        for r in rows:
+            if r.src in taken_src or r.trg in taken_trg:
+                continue
+            taken_src.add(r.src)
+            taken_trg.add(r.trg)
+            yield (r.src, r.trg, r.score)
+
+    swept = (
+        pairs.select("src", "trg", "score")
+        .orderBy(F.col("score").desc(), "src", "trg")
+        .coalesce(1)
+        .rdd.mapPartitions(sweep)
+    )
+    return pairs.sparkSession.createDataFrame(swept, schema)
+
+
+def mutually_best_converge(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Iteratively keep mutually-best (src,trg) pairs, remove matched docs,
+    repeat until fixpoint — align_documents' converge mode, distributed."""
+    # localCheckpoint each round: the iterative anti-join otherwise doubles
+    # the logical plan every iteration (unbounded lineage growth)
+    remaining = pairs.select("src", "trg", "score").localCheckpoint()
+    matched = None
+    for _ in range(max_iters):
+        w_src = Window.partitionBy("src").orderBy(F.col("score").desc(), "trg")
+        w_trg = Window.partitionBy("trg").orderBy(F.col("score").desc(), "src")
+        ranked = remaining.withColumn("rs", F.row_number().over(w_src)).withColumn(
+            "rt", F.row_number().over(w_trg)
+        )
+        mutual = ranked.filter((F.col("rs") == 1) & (F.col("rt") == 1)).select(
+            "src", "trg", "score"
+        ).localCheckpoint()
+        if mutual.count() == 0:
+            break
+        matched = mutual if matched is None else matched.unionByName(mutual)
+        remaining = (
+            remaining.join(mutual.select("src"), "src", "left_anti")
+            .join(mutual.select("trg"), "trg", "left_anti")
+        ).localCheckpoint()
+    if matched is None:
+        return pairs.select("src", "trg", "score").limit(0)
+    return matched

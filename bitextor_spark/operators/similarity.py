@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and a sign-grid
+(random-hyperplane-style) bucketed variant as the scale path: at 100 TB the
+bucket key turns the all-pairs product into an equi-join per bucket, the
+same shape the TF-IDF inverted-index join uses (docalign.cpp:264-411).
+
+All arithmetic is JVM-side: dot products via ``aggregate(zip_with(...))``
+in double precision with sequential fold order — chosen so a DuckDB oracle
+using list_dot_product reproduces values bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    queries: DataFrame,  # (qid, qvec)
+    corpus: DataFrame,  # (cid, cvec)
+    k: int,
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tiebreak on neighbor id."""
+    scored = queries.crossJoin(corpus).select(
+        "qid",
+        "cid",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )
+
+
+def sign_bucket(vec: Column, n_dims: int = 12) -> Column:
+    """Sign-grid LSH bucket: bit d set iff vec[d] > 0 (first n_dims dims).
+
+    The scale path for ANN: equal buckets are candidate sets; a multi-probe
+    or multi-table variant is the production extension."""
+    total = F.lit(0)
+    for d in range(n_dims):
+        total = total + F.when(
+            F.element_at(vec, d + 1).cast("double") > 0, F.lit(1 << d)
+        ).otherwise(F.lit(0))
+    return total.cast("int")
+
+
+def bucketed_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int,
+                      n_dims: int = 8) -> DataFrame:
+    """Within-bucket exact top-k — candidates only from the same sign
+    bucket (equi-join on bucket, no cross product across buckets)."""
+    b = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), n_dims).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    scored = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vid") != F.col("r.vid")))
+        .select(
+            F.col("l.vid").alias("qid"),
+            F.col("l.bucket").alias("bucket"),
+            F.col("r.vid").alias("cid"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "bucket", "cid", "cos", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold (exact, all-pairs at test
+    scale; bucketed prefilter is the scale path)."""
+    a = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

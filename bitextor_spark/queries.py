@@ -1,0 +1,977 @@
+"""Query registry: every SURVEY.md §2 operator as (Spark plan, DuckDB oracle).
+
+Each entry pairs an idiomatic-Spark implementation with an ANSI-SQL twin
+that DuckDB runs on the same parquet tables (pre-registered views). The
+driver hashes both result sets order-insensitively — so every computed
+column is aliased identically on both sides, floats are rounded at the
+same precision on both sides, hashes are the md5-derived 60-bit integers
+both engines compute identically (functions/hashes.py), and timestamps are
+exported as epoch microseconds.
+
+Non-SQL-expressible operators (greedy matching, converge matching, the
+crawl wave itself) register with ``oracle=None`` → rows-only check; their
+exactness oracles live in pytest (tests/test_frontier_parity.py,
+tests/test_matching.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bitextor_spark.functions.hashes import MINHASH_SALTS, h64, h64_sql
+from bitextor_spark.functions.text import (
+    EN_STOPWORDS,
+    normalized_text,
+    shingles,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from bitextor_spark.operators import dedup as D
+from bitextor_spark.operators import matching as M
+from bitextor_spark.operators import similarity as S
+from bitextor_spark.operators import tfidf as TF
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+
+def ts_us(col) -> "F.Column":
+    """Epoch microseconds from a (possibly NTZ) timestamp column — session
+    TZ is UTC so the cast is wall-clock-identity, matching DuckDB epoch_us."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Relational core (A6 aggregations, J joins, W1 windows, O1 sorts)
+# =========================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1-l_discount) * (1+l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_discount), 4)                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2001-03-15'
+      AND l_shipdate  > TIMESTAMP '2001-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2001-03-15").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2001-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_us("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON s_suppkey   = l_suppkey
+                             AND s_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "w1_topk_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+      FROM lineitem)
+    WHERE rnk <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_linenumber"
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rnk")
+    )
+
+
+@q(
+    "o1_multikey_sort",
+    """
+    SELECT row_number() OVER (ORDER BY l_returnflag, l_linestatus,
+                              l_shipdate DESC, l_orderkey, l_linenumber) AS seq,
+           l_orderkey, l_linenumber
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def o1_multikey_sort(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    w = Window.orderBy(
+        "l_returnflag", "l_linestatus", F.col("l_shipdate").desc(),
+        "l_orderkey", "l_linenumber",
+    )
+    return li.select(
+        F.row_number().over(w).alias("seq"), "l_orderkey", "l_linenumber"
+    )
+
+
+# =========================================================================
+# Dedup family (A5/C15 + training-data pipeline)
+# =========================================================================
+
+@q(
+    "dedup_exact_first",
+    """
+    SELECT user_id, event_type, first_event_id, first_ts_us, n_dupes FROM (
+      SELECT user_id, event_type,
+             event_id  AS first_event_id,
+             epoch_us(ts) AS first_ts_us,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn,
+             count(*)   OVER (PARTITION BY user_id, event_type) AS n_dupes
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_first(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    out = D.first_per_group(ev, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")])
+    return out.select(
+        "user_id", "event_type",
+        F.col("event_id").alias("first_event_id"),
+        ts_us("ts").alias("first_ts_us"),
+        "n_dupes",
+    )
+
+
+def _sql_tokens(col: str) -> str:
+    return f"list_filter(string_split_regex(trim({col}), '\\s+'), x -> x <> '')"
+
+
+def _sql_token_hashes(col: str) -> str:
+    return (
+        f"list_transform(list_distinct({_sql_tokens(col)}), "
+        f"x -> {h64_sql('x')})"
+    )
+
+
+def _minhash_sql_exprs(n_hashes: int) -> list[str]:
+    return [
+        f"list_min(list_transform(th, h -> xor(h, CAST({s} AS BIGINT))))"
+        for s in MINHASH_SALTS[:n_hashes]
+    ]
+
+
+def _minhash_lsh_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
+    r = n_hashes // n_bands
+    mh = _minhash_sql_exprs(n_hashes)
+    sig_cols = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH th AS (SELECT doc_id, {_sql_token_hashes('text')} AS th FROM documents),
+    sig AS (SELECT doc_id, {sig_cols} FROM th),
+    bands AS ({band_selects})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, n_bands=4)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH th AS (SELECT doc_id, {_sql_token_hashes('text')} AS th FROM documents)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM th
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash_col(F.col("text"), 32).alias("simhash")
+    )
+
+
+def _simhash_pairs_sql(bits: int = 32, max_dist: int = 10) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH th AS (SELECT doc_id, {_sql_token_hashes('text')} AS th FROM documents),
+    s AS (SELECT doc_id AS doc, CAST({terms} AS BIGINT) AS sh FROM th)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_dist}
+    """
+
+
+@q("dedup_simhash_pairs", _simhash_pairs_sql())
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", bits=32, max_dist=10)
+
+
+def _shingle_list_sql(n: int) -> str:
+    """List of distinct word n-gram shingles from a token-list column t."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct([{parts} for i in "
+        f"generate_series(1, greatest(len(t)-{n - 1}, 0))])"
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingle_list_sql(3)}) AS s FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+      FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", shingles(F.col("text"), 3), threshold=0.05
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+             AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+          >= 0.6
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.6)
+
+
+# =========================================================================
+# Similarity search (ANN)
+# =========================================================================
+
+_COS_SQL = (
+    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)"
+)
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_COS_SQL} AS cos
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+      WHERE q.vec_id < 10)
+    SELECT qid, cid, cos, rank FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return S.cosine_topk(F.broadcast(queries), corpus, k=5)
+
+
+def _bucket_sql(alias: str, n_dims: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN {alias}.embedding[{d + 1}]::DOUBLE > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(n_dims)
+    )
+
+
+@q(
+    "ann_lsh_bucketed",
+    f"""
+    WITH b AS (SELECT vec_id AS vid, embedding,
+                      CAST({_bucket_sql('embeddings')} AS INT) AS bucket
+               FROM embeddings),
+    scored AS (
+      SELECT l.vid AS qid, l.bucket AS bucket, r.vid AS cid,
+             round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 4)
+               AS cos
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid <> r.vid)
+    SELECT qid, bucket, cid, cos, rank FROM (
+      SELECT qid, bucket, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return S.bucketed_ann_topk(emb, "vec_id", "embedding", k=3, n_dims=8)
+
+
+# =========================================================================
+# Text analysis (training-data pipeline)
+# =========================================================================
+
+@q(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+             AS n_bpe,
+           round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 4)
+             AS mean_token_len
+    FROM (SELECT doc_id, text, {_sql_tokens('text')} AS t FROM documents)
+    """,
+)
+def text_tokens(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+            )
+            / F.size(toks),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+@q(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang,
+           round(CAST(len(list_filter(t, x -> list_contains({_STOPS_SQL}, lower(x))))
+                 AS DOUBLE) / len(t), 4) AS stop_ratio,
+           CASE WHEN len(list_filter(t, x -> list_contains({_STOPS_SQL}, lower(x))))
+                     >= 0.05 * len(t)
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM (SELECT doc_id, lang, {_sql_tokens('text')} AS t FROM documents)
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    n_stop = stopword_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stop_ratio"),
+        F.when(n_stop >= 0.05 * n_tok, "en").otherwise("unk").alias("pred_lang"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+      round(0.4 * (CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / len(text))
+          + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+          + 0.3 * least(1.0, len(t) / 100.0), 4) AS quality
+    FROM (SELECT doc_id, text, {_sql_tokens('text')} AS t FROM documents)
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    alpha_ratio = (
+        F.regexp_count(F.col("text"), F.lit("[a-z]")).cast("double")
+        / F.length("text")
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    len_score = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
+    return docs.select(
+        "doc_id",
+        F.round(0.4 * alpha_ratio + 0.3 * uniq_ratio + 0.3 * len_score, 4).alias(
+            "quality"
+        ),
+    )
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    out = docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp"))
+    return out.withColumn(
+        "n_same", F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("bigint")
+    )
+
+
+@q(
+    "word_freq",
+    f"""
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest({_sql_tokens('lower(text)')}) AS w FROM documents)
+    GROUP BY w HAVING count(*) > 1
+    """,
+)
+def word_freq(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+@q(
+    "inverted_index",
+    f"""
+    SELECT w AS word,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ':') AS doc_list,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest({_sql_tokens('text')}) AS w FROM documents)
+    GROUP BY w HAVING count(DISTINCT doc_id) <= 15
+    """,
+)
+def inverted_index(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("doc_list"),
+            F.size(F.collect_set("doc_id")).cast("bigint").alias("df"),
+        )
+        .filter(F.col("df") <= 15)
+    )
+
+
+@q(
+    "a2_doc_freq",
+    f"""
+    WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents)
+    SELECT s AS ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest({_shingle_list_sql(2)}) AS s FROM toks)
+    GROUP BY s
+    HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 1000
+    """,
+)
+def a2_doc_freq(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 1000))
+    )
+
+
+# =========================================================================
+# TF-IDF similarity join (flagship, J5/A2/A3 + W1)
+# =========================================================================
+
+_TFIDF_SQL = """
+WITH docs AS (
+  SELECT doc_id AS doc, text,
+         CAST(substr(source, 4) AS INT) AS srcnum
+  FROM documents),
+tf AS (
+  SELECT doc, w AS token, count(*) AS tf
+  FROM (SELECT doc, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '')) AS w
+        FROM docs)
+  GROUP BY doc, w),
+dfs AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+  HAVING count(*) >= 2 AND count(*) <= 1000),
+n AS (SELECT count(*) AS n_docs FROM docs),
+weighted AS (
+  SELECT tf.doc, tf.token,
+         ln(tf.tf + 1.0) * ln((SELECT n_docs FROM n) / (dfs.df + 1.0)) AS w
+  FROM tf JOIN dfs ON tf.token = dfs.token),
+normed AS (
+  SELECT doc, token,
+         w / sqrt(sum(w * w) OVER (PARTITION BY doc)) AS weight
+  FROM weighted),
+lv AS (SELECT n.doc AS src, n.token, n.weight AS lw
+       FROM normed n JOIN docs d ON n.doc = d.doc WHERE d.srcnum < 10),
+rv AS (SELECT n.doc AS trg, n.token, n.weight AS rw
+       FROM normed n JOIN docs d ON n.doc = d.doc WHERE d.srcnum >= 10),
+scores AS (
+  SELECT src, trg, round(sum(lw * rw), 4) AS score
+  FROM lv JOIN rv ON lv.token = rv.token
+  GROUP BY src, trg HAVING round(sum(lw * rw), 4) >= 0.1)
+SELECT src, trg, score, rank FROM (
+  SELECT src, trg, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, trg) AS rank
+  FROM scores)
+WHERE rank <= 10
+"""
+
+
+@q("tfidf_similarity", _TFIDF_SQL)
+def tfidf_similarity(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "srcnum", F.substring("source", 4, 10).cast("int")
+    )
+    left = docs.filter(F.col("srcnum") < 10).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    right = docs.filter(F.col("srcnum") >= 10).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    return TF.tfidf_similarity_join(left, right, threshold=0.1, top_k=10)
+
+
+# =========================================================================
+# Set operations (T1/T2) and pair filters (P4, F5, F16)
+# =========================================================================
+
+@q(
+    "t1_jaccard_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      list_distinct({_sql_tokens('text')}) AS toks
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def t1_jaccard_overlap(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+                / F.size(F.array_union("a.toks", "b.toks")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "p4_length_ratio_filter",
+    f"""
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tok
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(a.n_chars AS DOUBLE) / b.n_chars, 4) AS len_ratio
+    FROM d a JOIN d b ON a.source = b.source AND b.doc_id = a.doc_id + 20
+    WHERE a.n_tok < 200 AND b.n_tok < 200
+      AND CAST(a.n_chars AS DOUBLE) / b.n_chars > 0.1666
+      AND CAST(a.n_chars AS DOUBLE) / b.n_chars < 6.0
+    """,
+)
+def p4_length_ratio_filter(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", token_count(F.col("text")).alias("n_tok")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ratio = F.col("a.n_chars").cast("double") / F.col("b.n_chars")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + 20),
+        )
+        .filter(
+            (F.col("a.n_tok") < 200)
+            & (F.col("b.n_tok") < 200)
+            & (ratio > 0.1666)
+            & (ratio < 6.0)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(ratio, 4).alias("len_ratio"),
+        )
+    )
+
+
+@q(
+    "f5_levenshtein",
+    """
+    SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS INT) AS dist
+    FROM nation CROSS JOIN region
+    """,
+)
+def f5_levenshtein(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name", "r_name", F.levenshtein("n_name", "r_name").cast("int").alias("dist")
+    )
+
+
+# =========================================================================
+# Events: windowed aggregation, sessionization, JSON extraction (§2.10)
+# =========================================================================
+
+@q(
+    "events_windowed_agg",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_windowed_agg(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        ts_us(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("window_start_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_id
+      FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(ts_us("ts")).over(w).isNull()
+            | (ts_us("ts") - F.lag(ts_us("ts")).over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_id", F.sum("new_sess").over(w))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_us(F.min("ts")).alias("start_us"),
+        ts_us(F.max("ts")).alias("end_us"),
+    )
+
+
+@q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+        ).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =========================================================================
+# Crawl-flavored SQL-expressible slice (C6/C8/C16 over synthesized URLs)
+# =========================================================================
+
+@q(
+    "c6_url_canonicalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM/doc/' || doc_id
+               || '?PHPSESSID=deadbeef&q=' || doc_id AS url
+      FROM documents)
+    SELECT doc_id,
+           rtrim(regexp_replace(regexp_replace(lower(url), 'www\\.', '', 'g'),
+                                'phpsessid=[^&]*&?', '', 'g'), '?&') AS url_canon,
+           regexp_extract(lower(url), '//(?:www\\.)?([^/]+)/', 1) AS host,
+           regexp_extract(lower(url), '([a-z0-9]+\\.[a-z]+)/', 1) AS reg_domain
+    FROM u
+    """,
+)
+def c6_url_canonicalize(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW."), F.upper("source"),
+            F.lit(".EXAMPLE.COM/doc/"), F.col("doc_id").cast("string"),
+            F.lit("?PHPSESSID=deadbeef&q="), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    low = F.lower(F.col("url"))
+    return u.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(low, r"www\.", ""),
+                r"phpsessid=[^&]*&?", "",
+            ),
+            r"[?&]+$", "",
+        ).alias("url_canon"),
+        F.regexp_extract(low, r"//(?:www\.)?([^/]+)/", 1).alias("host"),
+        F.regexp_extract(low, r"([a-z0-9]+\.[a-z]+)/", 1).alias("reg_domain"),
+    )
+
+
+# =========================================================================
+# Non-SQL-expressible operators → rows-only checks (oracle in pytest)
+# =========================================================================
+
+@q("w3_greedy_match")
+def w3_greedy_match(spark, sf_dir):
+    pairs = tfidf_similarity(spark, sf_dir).select(
+        F.col("src").cast("bigint"), F.col("trg").cast("bigint"),
+        F.col("score").cast("double"),
+    )
+    return M.greedy_one_to_one(pairs)
+
+
+@q("w4_converge_match")
+def w4_converge_match(spark, sf_dir):
+    pairs = tfidf_similarity(spark, sf_dir).select("src", "trg", "score")
+    return M.mutually_best_converge(pairs)
+
+
+@q("crawl_wave")
+def crawl_wave(spark, sf_dir):
+    """Two fetch epochs of the frontier engine over a deterministic
+    synthetic world (the engine's own oracle is the simulator in pytest;
+    here the driver checks stable schema + rows)."""
+    import shutil
+    import tempfile
+
+    from bitextor_spark.config import CrawlConfig, WorldConfig
+    from bitextor_spark.frontier.engine import FrontierEngine
+    from bitextor_spark.frontier.world import small_world, world_to_dfs
+
+    world = small_world(WorldConfig(n_hosts=4, n_pages=60))
+    cfg = CrawlConfig(max_epochs=2, max_retries=1, num_host_shards=4)
+    dfs = world_to_dfs(spark, world)
+    root = tempfile.mkdtemp(prefix="crawl_wave_")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        eng = FrontierEngine(
+            spark, cfg, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+            use_bloom=True,
+        )
+        eng.run(max_epochs=2)
+        rows = eng.fetch_log().select(
+            "seq", "epoch", "url_canon", "host", "hop", "fetch_start_ms",
+            "status", "outcome",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "seq long, epoch int, url_canon string, host string, hop int, "
+        "fetch_start_ms long, status int, outcome string",
+    )

@@ -1,0 +1,61 @@
+"""Replicates the driver's correctness gate locally at sf0.001: every
+query with an oracle must match DuckDB row-for-row (order-insensitive,
+column-name-sorted), and every oracle-less query must at least run with a
+stable schema."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bitextor_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(6)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, ddb, name):
+    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    want = _normalize(ddb.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES) - {"crawl_wave"})
+)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
