@@ -42,6 +42,7 @@ from bitextor_spark.config import CrawlConfig
 from bitextor_spark.frontier import seen as seen_mod
 from bitextor_spark.frontier.politeness import QueueEntry, schedule_host
 from bitextor_spark.plans.scope import apply_scope
+from bitextor_spark.plans.topk import per_key_topk
 from bitextor_spark.functions.urls import (
     canonicalize_udf,
     registered_domain_udf,
@@ -87,6 +88,8 @@ class FrontierEngine:
         robots: DataFrame,
         seeds: DataFrame,
         use_bloom: bool = True,
+        images: DataFrame | None = None,
+        verify_payloads: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -94,6 +97,10 @@ class FrontierEngine:
         self.robots = robots.cache()
         self.seeds = seeds
         self.use_bloom = use_bloom
+        # image+caption payload table (input_hint shape); verified per fetch
+        # wave in Arrow batches when verify_payloads is on (M4 invariant)
+        self.images = images.cache() if images is not None else None
+        self.verify_payloads = verify_payloads and images is not None
         # pages is the fetch target: co-partition once by url_canon so the
         # per-epoch fetch join is a local join against this cached layout.
         self.pages = pages.repartition(
@@ -111,14 +118,15 @@ class FrontierEngine:
         if self.catalog.latest_snapshot_id() is not None:
             return
         cfg = self.cfg
+        # materialize the (tiny) seed pipeline once: every downstream action
+        # would otherwise re-run the canonicalize/reg-domain UDF fan-out
         s = (
             self.seeds.withColumn("url_canon", canonicalize_udf("seed_url"))
             .filter(F.col("url_canon").isNotNull())
             .withColumn("host", _host_col(F.col("url_canon")))
             .withColumn("reg_domain", registered_domain_udf("host"))
-        )
-        seed_domains = s.select("reg_domain").distinct()
-        self._seed_domains = seed_domains.cache()
+        ).localCheckpoint()
+        seed_domains = s.select("reg_domain").distinct().localCheckpoint()
         scoped = apply_scope(
             s.withColumn("hop", F.lit(0)), seed_domains, self.robots, cfg
         ).filter(F.col("in_scope"))
@@ -137,7 +145,7 @@ class FrontierEngine:
                 F.lit(0).cast("long").alias("not_before_ms"),
                 F.lit(0).alias("discovered_epoch"),
             )
-        )
+        ).localCheckpoint()  # reused by host_state, blooms, commit, count
         host_state = frontier.select("host").distinct().withColumn(
             "next_allowed_ms", F.lit(0).cast("long")
         )
@@ -145,8 +153,7 @@ class FrontierEngine:
                    "seed_domains": seed_domains}
         if self.use_bloom:
             blooms = seen_mod.update_blooms(
-                seen_mod.empty_blooms(self.spark, cfg.num_host_shards,
-                                      cfg.bloom_bits_per_shard),
+                seen_mod.empty_blooms(self.spark),
                 frontier.select("url_hash"),
                 cfg.num_host_shards, cfg.bloom_bits_per_shard,
                 cfg.bloom_num_hashes,
@@ -156,6 +163,82 @@ class FrontierEngine:
             replace=replace,
             meta={"epoch": 0, "total_fetched": 0, "seq_offset": 0,
                   "queued": frontier.count(), "done": False},
+        )
+
+    def _with_global_seq(
+        self, events: DataFrame, n_events: int, seq_offset: int
+    ) -> DataFrame:
+        """Exact global sequence by (fetch_start_ms, host, url_canon).
+
+        Small epochs: one single-partition window. Large epochs: range-
+        repartition on the (unique) sort key, rank locally, add cumulative
+        partition offsets — the scalable exact total order (no single-task
+        sort at 10^10 scale)."""
+        keys = [F.col("fetch_start_ms"), F.col("host"), F.col("url_canon")]
+        if n_events < 50_000:
+            w = Window.orderBy(*keys)
+            return events.withColumn(
+                "seq", F.row_number().over(w) - 1 + seq_offset
+            )
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        ranged = events.repartitionByRange(nparts, *keys).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        ranged = ranged.localCheckpoint()  # pin partitioning for both passes
+        counts = {
+            r["_pid"]: r["count"]
+            for r in ranged.groupBy("_pid").count().collect()
+        }
+        offsets, acc = {}, seq_offset
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+        )
+        w_local = Window.partitionBy("_pid").orderBy(*keys)
+        return (
+            ranged.join(F.broadcast(off_df), "_pid")
+            .withColumn("seq", F.row_number().over(w_local) - 1 + F.col("_off"))
+            .drop("_pid", "_off")
+        )
+
+    def _verify_payloads(self, events: DataFrame) -> DataFrame:
+        """Per-row payload invariant (M4): decode image bytes in Arrow
+        batches and compare with the regenerated reference — exact pixels
+        for png, PSNR ≥ threshold for lossy — plus caption equality.
+        (functions/images.py; reference-decode semantics per input_hint)."""
+        from bitextor_spark.functions.images import verify_image_batch
+
+        cfg = self.cfg
+        salt = cfg.seed
+        thr = cfg.psnr_threshold_db
+        fetched = events.filter(
+            (F.col("outcome") == "FETCHED")
+            & (F.col("status") >= 200) & (F.col("status") < 300)
+        ).select("url_hash", "url_canon")
+        payloads = (
+            fetched.join(
+                self.pages.select("url_canon", "image_id"), "url_canon"
+            )
+            .filter(F.col("image_id").isNotNull())
+            .join(self.images, "image_id")
+            .select("url_hash", "image_id", "bytes", "fmt", "caption")
+        )
+
+        def verify(batches):
+            for pdf in batches:
+                bo, co = verify_image_batch(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"],
+                    salt=salt, psnr_threshold=thr,
+                )
+                yield pd.DataFrame(
+                    {"url_hash": pdf["url_hash"], "bytes_ok": bo,
+                     "caption_ok": co}
+                )
+
+        return payloads.mapInPandas(
+            verify, "url_hash long, bytes_ok boolean, caption_ok boolean"
         )
 
     def _load(self, name: str) -> DataFrame:
@@ -172,6 +255,15 @@ class FrontierEngine:
     # ------------------------------------------------------------------ #
 
     def run_epoch(self) -> EpochStats:
+        import time as _time
+
+        _t = {"_start": _time.time()}
+
+        def mark(name: str) -> None:
+            now = _time.time()
+            _t[name] = round(now - _t["_start"], 2)
+            _t["_start"] = now
+
         cfg = self.cfg
         meta = self.meta()
         epoch = int(meta["epoch"])
@@ -191,12 +283,9 @@ class FrontierEngine:
         # --- per-host schedulable prefix (bounds mega-host skew) ---
         k_cap = min(cfg.replenish_per_epoch,
                     cfg.epoch_window_ms // max(cfg.min_delay_ms, 1) + 2)
-        w_host = Window.partitionBy("host").orderBy("hop", "url_canon")
-        immediate = (
-            queued.filter(F.col("not_before_ms") <= epoch_start)
-            .withColumn("rn", F.row_number().over(w_host))
-            .filter(F.col("rn") <= k_cap)
-            .drop("rn")
+        immediate = per_key_topk(
+            queued.filter(F.col("not_before_ms") <= epoch_start),
+            "host", [F.col("hop"), F.col("url_canon")], k_cap,
         )
         blocked = queued.filter(F.col("not_before_ms") > epoch_start)
         cand = immediate.unionByName(blocked)
@@ -230,10 +319,13 @@ class FrontierEngine:
         def walk(pdf: pd.DataFrame) -> pd.DataFrame:
             host = pdf["host"].iloc[0]
             entries = [
-                QueueEntry(r.url_canon, int(r.hop), int(r.seed_id),
-                           int(r.retry_count), int(r.not_before_ms),
-                           int(r.status), int(r.fetch_ms))
-                for r in pdf.itertuples()
+                QueueEntry(*t)
+                for t in zip(
+                    pdf["url_canon"].tolist(), pdf["hop"].tolist(),
+                    pdf["seed_id"].tolist(), pdf["retry_count"].tolist(),
+                    pdf["not_before_ms"].tolist(), pdf["status"].tolist(),
+                    pdf["fetch_ms"].tolist(),
+                )
             ]
             events, cursor = schedule_host(
                 entries, int(pdf["next_allowed_ms"].iloc[0]),
@@ -264,19 +356,18 @@ class FrontierEngine:
 
         events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA).cache()
 
-        # --- exact global order → fetch_log sequence numbers ---
-        w_seq = Window.orderBy("fetch_start_ms", "host", "url_canon")
-        fetch_log = events.withColumn(
-            "seq", F.row_number().over(w_seq) - 1 + seq_offset
-        ).withColumn("epoch", F.lit(epoch)).drop("new_next_allowed")
-
-        outcome_counts = {
-            r["outcome"]: r["count"]
-            for r in events.groupBy("outcome").count().collect()
-        }
-        n_attempts = sum(outcome_counts.values())
-        n_fetched = outcome_counts.get("FETCHED", 0)
-
+        mark('plan_candidates')
+        # fetch_log stores events only; the exact global sequence is DERIVED
+        # at read time from the total order (epoch, fetch_start_ms, host,
+        # url_canon) — materializing it per epoch costs jobs, stores nothing
+        # the sort key doesn't already encode.
+        fetch_log = events.drop("new_next_allowed").withColumn(
+            "epoch", F.lit(epoch)
+        )
+        if self.verify_payloads:
+            fetch_log = fetch_log.join(
+                self._verify_payloads(events), "url_hash", "left"
+            )
         # --- host_state update ---
         new_cursor = events.groupBy("host").agg(
             F.max("new_next_allowed").alias("cursor")
@@ -299,7 +390,9 @@ class FrontierEngine:
             F.col("fetch_start_ms").alias("_start"),
         )
         frontier_updated = (
-            frontier.join(updates, "url_hash", "left")
+            # broadcast: updates ≤ hosts × k_cap rows, frontier is the big
+            # side and must not shuffle every epoch
+            frontier.join(F.broadcast(updates), "url_hash", "left")
             .select(
                 "url_hash", "url_canon", "host", "hop", "seed_id",
                 F.when(F.col("_outcome") == "FETCHED", "FETCHED")
@@ -319,6 +412,7 @@ class FrontierEngine:
             )
         )
 
+        mark('state_updates')
         # --- discovery: explode outlinks of successful 2xx fetches ---
         fetched_pages = (
             events.filter(
@@ -350,6 +444,7 @@ class FrontierEngine:
             .withColumn("reg_domain", registered_domain_udf("host"))
         )
         scoped = apply_scope(candidates, seed_domains, self.robots, cfg).cache()
+        mark('discovery_dag')
         scope_rejects = (
             scoped.filter(~F.col("in_scope"))
             .groupBy("host").count()
@@ -374,6 +469,7 @@ class FrontierEngine:
         ).cache()
 
         # --- seen check: bloom prefilter + exact anti-join ---
+        flagged = None
         if self.use_bloom:
             blooms = self._load("blooms")
             flagged = seen_mod.flag_maybe_seen(
@@ -419,6 +515,7 @@ class FrontierEngine:
         ev_counts = events.groupBy("host").agg(
             F.sum(F.when(F.col("outcome") == "FETCHED", 1).otherwise(0)).alias("fetched"),
             F.sum(F.when(F.col("outcome") != "FETCHED", 1).otherwise(0)).alias("errors"),
+            F.sum(F.when(F.col("outcome") == "FAILED", 1).otherwise(0)).alias("failed"),
         )
         queued_counts = new_rows.groupBy("host").count().withColumnRenamed(
             "count", "queued"
@@ -433,6 +530,7 @@ class FrontierEngine:
                 "host",
                 F.coalesce("fetched", F.lit(0)).alias("fetched"),
                 F.coalesce("errors", F.lit(0)).alias("errors"),
+                F.coalesce("failed", F.lit(0)).alias("failed"),
                 (
                     F.coalesce("dupe_seen", F.lit(0))
                     + F.coalesce("seen_dupe", F.lit(0))
@@ -441,13 +539,19 @@ class FrontierEngine:
                 F.coalesce("queued", F.lit(0)).alias("queued"),
             )
         )
-        # the per-host metrics table is tiny: collect once, reuse for both
-        # the stats AND the write (avoids running the 5-way join DAG twice)
+        mark('metrics_dag')
+        # the per-host metrics table is tiny: collect ONCE — it carries every
+        # counter the epoch needs (attempts, fetched, failed, admitted), so
+        # no other count/collect job runs this epoch
         metric_schema = metrics.schema
         m_rows = metrics.collect()
         n_new = sum(r["queued"] for r in m_rows)
+        n_fetched = sum(r["fetched"] for r in m_rows)
+        n_failed = sum(r["failed"] for r in m_rows)
+        n_attempts = n_fetched + sum(r["errors"] for r in m_rows)
         metrics_local = self.spark.createDataFrame(m_rows, metric_schema)
 
+        mark('metrics_collect')
         # --- commit ---
         replace = {"frontier": frontier_next, "host_state": host_state_next}
         if self.use_bloom and n_new > 0:
@@ -457,7 +561,7 @@ class FrontierEngine:
                 cfg.bloom_num_hashes,
             )
         # queued' = queued − terminal attempts + newly admitted (no extra scan)
-        n_terminal = n_fetched + outcome_counts.get("FAILED", 0)
+        n_terminal = n_fetched + n_failed
         prev_queued = meta.get("queued")
         if prev_queued is None:
             prev_queued = frontier.filter(F.col("state") == "QUEUED").count()
@@ -474,8 +578,11 @@ class FrontierEngine:
                 or total_fetched + n_fetched >= cfg.max_fetches,
             },
         )
-        for df in (events, scoped, unique_cands, admitted):
-            df.unpersist()
+        mark('commit')
+        self.last_timings = {k: v for k, v in _t.items() if k != '_start'}
+        for df in (events, scoped, unique_cands, admitted, flagged):
+            if df is not None:
+                df.unpersist()
         return EpochStats(epoch, n_fetched, n_attempts, n_new, queued_remaining)
 
     # ------------------------------------------------------------------ #
@@ -499,7 +606,13 @@ class FrontierEngine:
     # convenience readers -------------------------------------------------
 
     def fetch_log(self) -> DataFrame:
-        return self._load("fetch_log").orderBy("seq")
+        """Fetch log with the exact global sequence derived from the total
+        order (epoch, fetch_start_ms, host, url_canon). Inspection-scale
+        reads use one window; bulk exports should use
+        ``_with_global_seq``-style range ranking instead."""
+        df = self._load("fetch_log")
+        w = Window.orderBy("epoch", "fetch_start_ms", "host", "url_canon")
+        return df.withColumn("seq", F.row_number().over(w) - 1).orderBy("seq")
 
     def frontier(self) -> DataFrame:
         return self._load("frontier")

@@ -48,10 +48,12 @@ def shard_col(hash_col, n_shards: int):
     return F.pmod(hash_col, F.lit(n_shards)).cast("int")
 
 
-def empty_blooms(spark: SparkSession, n_shards: int, m_bits: int) -> DataFrame:
-    blob = bytearray(m_bits // 8)
-    rows = [(i, bytes(blob), 0) for i in range(n_shards)]
-    return spark.createDataFrame(rows, BLOOM_SCHEMA)
+def empty_blooms(spark: SparkSession, n_shards: int = 0, m_bits: int = 0) -> DataFrame:
+    """Zero-row bloom table: shards materialize lazily on first update
+    (update_blooms creates a fresh blob for unseen shards; flag_maybe_seen
+    treats a missing shard as definitely-new). Avoids shipping n_shards ×
+    m_bits/8 bytes of zeros from the driver."""
+    return spark.createDataFrame([], BLOOM_SCHEMA)
 
 
 def update_blooms(

@@ -179,7 +179,9 @@ def small_world(cfg: WorldConfig | None = None) -> World:
 # Spark-side DataFrames of the same world (for the engine).
 # ---------------------------------------------------------------------------
 
-def world_to_dfs(spark: SparkSession, world: World) -> dict[str, DataFrame]:
+def world_to_dfs(
+    spark: SparkSession, world: World, with_images: bool = False
+) -> dict[str, DataFrame]:
     pages_rows = [
         (p.url_canon, p.host, p.outlinks, p.image_id, p.fetch_ms, p.status)
         for p in world.pages.values()
@@ -196,7 +198,21 @@ def world_to_dfs(spark: SparkSession, world: World) -> dict[str, DataFrame]:
     seeds = spark.createDataFrame(
         [(u, i) for i, u in enumerate(world.seeds)], "seed_url string, seed_id int"
     )
-    return {"pages": pages, "robots": robots, "seeds": seeds}
+    out = {"pages": pages, "robots": robots, "seeds": seeds}
+    if with_images:
+        from bitextor_spark.functions.images import make_image_row
+
+        rows = [
+            tuple(make_image_row(p.image_id, salt=world.cfg.seed).values())
+            for p in world.pages.values()
+            if p.image_id is not None
+        ]
+        out["images"] = spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
+    return out
 
 
 def spark_world(
@@ -206,6 +222,7 @@ def spark_world(
     mega_host_frac: float = 0.3,
     mean_outlinks: int = 12,
     seed: int = 42,
+    n_seeds: int | None = None,
 ) -> dict[str, DataFrame]:
     """Distributed synthetic world for benchmarks — pure JVM expressions.
 
@@ -259,7 +276,7 @@ def spark_world(
         .withColumn("disallow_prefixes", F.array().cast("array<string>"))
         .select("host", "crawl_delay_s", "disallow_prefixes")
     )
-    n_seeds = min(n_pages, 1000)
+    n_seeds = min(n_pages, n_seeds or 1000)
     seeds = (
         spark.range(n_seeds)
         .withColumn("seed_url", url_of(F.col("id")))

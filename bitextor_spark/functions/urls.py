@@ -206,13 +206,30 @@ def max_repetitions_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: max_segment_repetitions(u) if u else 0).astype("int32")
 
 
+# Links already in canonical shape skip the full parser: absolute http(s),
+# lowercase host without userinfo/port/www, plain path with no dot-segments,
+# duplicate slashes, query, fragment, or escapes. For such links
+# resolve_outlink(base, link) == link, so the fast path is exact.
+_CLEAN_ABS_RE = re.compile(
+    r"^(?:http|https)://"
+    r"(?!www\d*\.)[a-z0-9-]+(?:\.[a-z0-9-]+)+"
+    r"/(?:(?!\.)[A-Za-z0-9._~-]+/)*(?!\.)[A-Za-z0-9._~-]*$"
+)
+
+
 @pandas_udf(StringType())
 def resolve_outlink_udf(base: pd.Series, link: pd.Series) -> pd.Series:
-    return pd.Series(
-        [resolve_outlink(b, l) if b else None for b, l in zip(base, link)],
-        index=base.index,
-        dtype=object,
-    )
+    link_s = link.fillna("")
+    fast = link_s.str.match(_CLEAN_ABS_RE) & base.notna()
+    out = pd.Series(index=base.index, dtype=object)
+    out[fast] = link_s[fast]
+    slow = ~fast
+    if slow.any():
+        out[slow] = [
+            resolve_outlink(b, l) if b else None
+            for b, l in zip(base[slow], link_s[slow])
+        ]
+    return out
 
 
 def url_hash_col(url_col):

@@ -1,0 +1,57 @@
+"""Streaming ingest operators (SURVEY.md §2.10).
+
+The reference's crawl loop is batch-incremental (epoch waves over Iceberg
+snapshots — the north-rule design), but a production front-end also wants a
+*streaming* intake path: URL discoveries arriving continuously, deduped and
+canonicalized before they hit the frontier, and fetch-log analytics over
+event time. These are the Structured Streaming twins of the batch
+operators:
+
+- ``streaming_url_intake``: canonicalize (Arrow UDF) → xxhash64 →
+  ``dropDuplicates`` on url_hash bounded by a watermark — Spark's built-in
+  stateful dedup store standing in for the URL-seen structure on the
+  streaming path (C5/C6).
+- ``streaming_fetch_metrics``: tumbling event-time windows with a watermark
+  for late fetch events (C17 as a live dashboard feed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bitextor_spark.functions.urls import canonicalize_udf
+
+
+def streaming_url_intake(
+    raw_urls: DataFrame,  # streaming DF: (url string, discovered_at timestamp)
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Canonicalize + watermark-bounded exact dedup of a URL stream."""
+    return (
+        raw_urls.withColumn("url_canon", canonicalize_udf("url"))
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+        .withWatermark("discovered_at", watermark)
+        .dropDuplicates(["url_hash"])
+        .select("url_hash", "url_canon", "discovered_at")
+    )
+
+
+def streaming_fetch_metrics(
+    fetch_events: DataFrame,  # streaming DF: (host, status, fetched_at ts)
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-host windowed fetch counters over event time (late-data-safe)."""
+    return (
+        fetch_events.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window).alias("w"), "host")
+        .agg(
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.when(F.col("status") >= 500, 1).otherwise(0)).alias("errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "host", "fetched", "errors"
+        )
+    )
