@@ -975,3 +975,8 @@ def crawl_wave(spark, sf_dir):
         "seq long, epoch int, url_canon string, host string, hop int, "
         "fetch_start_ms long, status int, outcome string",
     )
+
+
+# batch-2 registrations (same QUERIES/ORACLES dicts) — import at the end so
+# the decorators in queries_batch2 see a fully-initialized registry.
+from bitextor_spark import queries_batch2  # noqa: E402,F401
