@@ -980,3 +980,4 @@ def crawl_wave(spark, sf_dir):
 # batch-2 registrations (same QUERIES/ORACLES dicts) — import at the end so
 # the decorators in queries_batch2 see a fully-initialized registry.
 from bitextor_spark import queries_batch2  # noqa: E402,F401
+from bitextor_spark import queries_batch3  # noqa: E402,F401

@@ -315,7 +315,7 @@ _LEX_SQL = "(VALUES " + ", ".join(f"('{w}')" for w in EN_STOPWORDS) + ") lex(w)"
                   / greatest(len(a.vocab), len(b.vocab)))
                  * (CAST(len(list_intersect(ta.translated, b.vocab)) AS DOUBLE)
                     / len(ta.translated)), 4) AS overlap_score
-    FROM v a JOIN v b ON a.source = b.source AND b.doc_id = a.doc_id + 10
+    FROM v a JOIN v b ON a.source = b.source AND b.doc_id = a.doc_id + 20
              JOIN tr ta ON ta.doc_id = a.doc_id
     """,
 )
@@ -340,7 +340,7 @@ def j4_dict_overlap(spark, sf_dir):
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
-        & (F.col("b.doc_id") == F.col("a.doc_id") + 10),
+        & (F.col("b.doc_id") == F.col("a.doc_id") + 20),
     ).join(tr.withColumnRenamed("doc_id", "a_id"),
            F.col("a_id") == F.col("a.doc_id"))
     score = (
