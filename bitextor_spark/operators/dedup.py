@@ -27,6 +27,17 @@ from bitextor_spark.functions.hashes import MINHASH_SALTS, h64
 from bitextor_spark.functions.text import tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism before
+    an expensive narrow stage. Two jobs at once: (a) single-file dev inputs
+    (one row group = one scan task) fan out across all cores; (b) the
+    Exchange is a materialization boundary, so per-row signatures are
+    computed ONCE below it instead of being projection-collapsed into a
+    self-join filter and re-evaluated per candidate pair."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def first_per_group(
     df: DataFrame, key_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:
@@ -73,7 +84,7 @@ def minhash_lsh_pairs(
     ':'-joined band. Returns distinct (doc_a < doc_b).
     """
     r = n_hashes // n_bands
-    sig = df.select(
+    sig = _spread(df).select(
         F.col(id_col).alias("doc"),
         minhash_signature(F.col(text_col), n_hashes).alias("sig"),
     )
@@ -136,7 +147,9 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 10
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_dist."""
-    sh = df.select(F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh"))
+    sh = _spread(df).select(
+        F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     dist = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
@@ -159,10 +172,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-set Jaccard via the shingle equi-join (never all-pairs):
     explode distinct shingles → self-join on shingle → |∩| per pair →
-    J = |∩| / (|A|+|B|−|∩|) ≥ threshold."""
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingle_col)).alias("sh")
-    )
+    J = |∩| / (|A|+|B|−|∩|) ≥ threshold. The join key is the 60-bit
+    shingle hash, not the shingle string — 8-byte shuffle/compare keys
+    (collision odds over a shingle vocabulary are ~2^-60·|V|², nil)."""
+    ex = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingle_col)).alias("sh_str"),
+    ).select("doc", h64(F.col("sh_str")).alias("sh"))
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.alias("l")

@@ -16,6 +16,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism: fans a
+    single-row-group scan across all cores and pins a materialization
+    boundary below the pair join, so the per-pair cosine work parallelizes
+    with the stream side instead of running in one scan task."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -33,11 +42,20 @@ def cosine_topk(
     corpus: DataFrame,  # (cid, cvec)
     k: int,
 ) -> DataFrame:
-    """Exact top-k by cosine; deterministic tiebreak on neighbor id."""
-    scored = queries.crossJoin(corpus).select(
+    """Exact top-k by cosine; deterministic tiebreak on neighbor id.
+
+    Norms are precomputed per row below the join exchange (once per vector,
+    not once per pair) — same float expression, so oracle parity holds."""
+    q = queries.withColumn("qn", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+    c = _spread(corpus).select(
+        "cid", "cvec", F.sqrt(dot(F.col("cvec"), F.col("cvec"))).alias("cn")
+    )
+    scored = q.crossJoin(c).select(
         "qid",
         "cid",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -64,10 +82,11 @@ def bucketed_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int,
                       n_dims: int = 8) -> DataFrame:
     """Within-bucket exact top-k — candidates only from the same sign
     bucket (equi-join on bucket, no cross product across buckets)."""
-    b = df.select(
+    b = _spread(df).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         sign_bucket(F.col(vec_col), n_dims).alias("bucket"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("vn"),
     )
     l, r = b.alias("l"), b.alias("r")
     scored = (
@@ -76,7 +95,10 @@ def bucketed_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int,
             F.col("l.vid").alias("qid"),
             F.col("l.bucket").alias("bucket"),
             F.col("r.vid").alias("cid"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("cos"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.vn") * F.col("r.vn")),
+                4,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -92,12 +114,21 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold (exact, all-pairs at test
     scale; bucketed prefilter is the scale path)."""
-    a = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    a = _spread(df).select(
+        F.col(id_col).alias("ida"), F.col(vec_col).alias("va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nb"),
+    )
     return (
         a.join(b, F.col("ida") < F.col("idb"))
         .select(
-            "ida", "idb", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+            "ida", "idb",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

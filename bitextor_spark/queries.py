@@ -317,7 +317,8 @@ def _simhash_sql(bits: int = 32) -> str:
 
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = T(spark, sf_dir, "documents").repartition(n)
     return docs.select(
         "doc_id", D.simhash_col(F.col("text"), 32).alias("simhash")
     )
@@ -718,7 +719,8 @@ def tfidf_similarity(spark, sf_dir):
     """,
 )
 def t1_jaccard_overlap(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").select(
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = T(spark, sf_dir, "documents").repartition(n).select(
         "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("toks")
     )
     a, b = docs.alias("a"), docs.alias("b")
