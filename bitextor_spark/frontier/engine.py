@@ -44,9 +44,8 @@ from bitextor_spark.frontier.politeness import QueueEntry, schedule_host
 from bitextor_spark.plans.scope import apply_scope
 from bitextor_spark.plans.topk import per_key_topk
 from bitextor_spark.functions.urls import (
-    canonicalize_udf,
-    registered_domain_udf,
-    resolve_outlink_udf,
+    canonicalize_full_udf,
+    resolve_outlink_full_udf,
 )
 from bitextor_spark.sources.snapshots import SnapshotCatalog
 
@@ -119,12 +118,12 @@ class FrontierEngine:
             return
         cfg = self.cfg
         # materialize the (tiny) seed pipeline once: every downstream action
-        # would otherwise re-run the canonicalize/reg-domain UDF fan-out
+        # would otherwise re-run the canonicalize/reg-domain UDF fan-out.
+        # One fused Arrow UDF = one python round-trip per task.
         s = (
-            self.seeds.withColumn("url_canon", canonicalize_udf("seed_url"))
+            self.seeds.withColumn("_c", canonicalize_full_udf("seed_url"))
+            .select("seed_id", "seed_url", "_c.url_canon", "_c.host", "_c.reg_domain")
             .filter(F.col("url_canon").isNotNull())
-            .withColumn("host", _host_col(F.col("url_canon")))
-            .withColumn("reg_domain", registered_domain_udf("host"))
         ).localCheckpoint()
         seed_domains = s.select("reg_domain").distinct().localCheckpoint()
         scoped = apply_scope(
@@ -354,7 +353,10 @@ class FrontierEngine:
                 }
             )
 
-        events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA).cache()
+        # eager materialization: every downstream consumer (fetch_log,
+        # host_state, frontier transitions, discovery, metrics) reads the
+        # walk output exactly once from storage
+        events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA).localCheckpoint()
 
         mark('plan_candidates')
         # fetch_log stores events only; the exact global sequence is DERIVED
@@ -429,21 +431,29 @@ class FrontierEngine:
                 "hop", "seed_id", "fetch_start_ms", "disc_host",
                 F.explode(F.slice("outlinks", 1, cfg.max_outlinks)).alias("link"),
             )
-            .withColumn("cand_canon", resolve_outlink_udf("disc_url", "link"))
+            .withColumn("_c", resolve_outlink_full_udf("disc_url", "link"))
+            .select(
+                "disc_url", "hop", "seed_id", "fetch_start_ms", "disc_host",
+                F.col("_c.url_canon").alias("cand_canon"),
+                F.col("_c.host").alias("cand_host"),
+                F.col("_c.reg_domain").alias("cand_reg_domain"),
+            )
             .filter(F.col("cand_canon").isNotNull())
             # within-page dedup (mirrors the simulator's page_seen set)
             .dropDuplicates(["disc_url", "cand_canon"])
         )
-        candidates = (
-            raw_links.select(
-                F.col("cand_canon").alias("url_canon"),
-                (F.col("hop") + 1).cast("int").alias("hop"),
-                "seed_id", "fetch_start_ms", "disc_host", "disc_url",
-            )
-            .withColumn("host", _host_col(F.col("url_canon")))
-            .withColumn("reg_domain", registered_domain_udf("host"))
+        candidates = raw_links.select(
+            F.col("cand_canon").alias("url_canon"),
+            (F.col("hop") + 1).cast("int").alias("hop"),
+            "seed_id", "fetch_start_ms", "disc_host", "disc_url",
+            F.col("cand_host").alias("host"),
+            F.col("cand_reg_domain").alias("reg_domain"),
         )
-        scoped = apply_scope(candidates, seed_domains, self.robots, cfg).cache()
+        # localCheckpoint (eager), not cache(): the metrics join tree below
+        # references this subtree from several branches inside ONE job — a
+        # lazy cache lets those branches race to compute the python stages
+        # redundantly; eager materialization runs them exactly once.
+        scoped = apply_scope(candidates, seed_domains, self.robots, cfg).localCheckpoint()
         mark('discovery_dag')
         scope_rejects = (
             scoped.filter(~F.col("in_scope"))
@@ -466,7 +476,7 @@ class FrontierEngine:
             ranked.filter(F.col("rnk") == 1)
             .select("url_canon", "host", "hop", "seed_id")
             .withColumn("url_hash", F.xxhash64("url_canon"))
-        ).cache()
+        ).localCheckpoint()
 
         # --- seen check: bloom prefilter + exact anti-join ---
         flagged = None
@@ -475,7 +485,7 @@ class FrontierEngine:
             flagged = seen_mod.flag_maybe_seen(
                 unique_cands, blooms, cfg.num_host_shards,
                 cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
-            ).cache()
+            ).localCheckpoint()
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             really_new = maybe.join(
@@ -486,7 +496,7 @@ class FrontierEngine:
             admitted = unique_cands.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
             )
-        admitted = admitted.cache()
+        admitted = admitted.localCheckpoint()
 
         seen_hits = (
             unique_cands.join(frontier.select("url_hash"), "url_hash", "left_semi")
@@ -580,9 +590,8 @@ class FrontierEngine:
         )
         mark('commit')
         self.last_timings = {k: v for k, v in _t.items() if k != '_start'}
-        for df in (events, scoped, unique_cands, admitted, flagged):
-            if df is not None:
-                df.unpersist()
+        # localCheckpoint storage is reclaimed by the ContextCleaner once
+        # the epoch's DataFrame references go out of scope
         return EpochStats(epoch, n_fetched, n_attempts, n_new, queued_remaining)
 
     # ------------------------------------------------------------------ #

@@ -23,7 +23,7 @@ from urllib.parse import parse_qsl, unquote, urlencode, urljoin, urlsplit
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, StringType
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from bitextor_spark.config import ALLOWED_SCHEMES, SESSION_PARAMS
 
@@ -215,6 +215,45 @@ _CLEAN_ABS_RE = re.compile(
     r"(?!www\d*\.)[a-z0-9-]+(?:\.[a-z0-9-]+)+"
     r"/(?:(?!\.)[A-Za-z0-9._~-]+/)*(?!\.)[A-Za-z0-9._~-]*$"
 )
+
+
+_RESOLVE_FULL_TYPE = StructType(
+    [
+        StructField("url_canon", StringType()),
+        StructField("host", StringType()),
+        StructField("reg_domain", StringType()),
+    ]
+)
+
+
+@pandas_udf(_RESOLVE_FULL_TYPE)
+def resolve_outlink_full_udf(base: pd.Series, link: pd.Series) -> pd.DataFrame:
+    """Fused resolve → canonicalize → host → registered-domain in ONE Arrow
+    round-trip. Each ArrowEvalPython node costs a python-worker stream per
+    task; chaining three separate UDF nodes at 32 cores triples that fixed
+    cost, which dominates epoch wall time at high core counts."""
+    link_s = link.fillna("")
+    fast = link_s.str.match(_CLEAN_ABS_RE) & base.notna()
+    canon = pd.Series(index=base.index, dtype=object)
+    canon[fast] = link_s[fast]
+    slow = ~fast
+    if slow.any():
+        canon[slow] = [
+            resolve_outlink(b, l) if b else None
+            for b, l in zip(base[slow], link_s[slow])
+        ]
+    host = canon.map(lambda u: host_of(u) if u else None)
+    reg = host.map(lambda h: registered_domain(h) if h else None)
+    return pd.DataFrame({"url_canon": canon, "host": host, "reg_domain": reg})
+
+
+@pandas_udf(_RESOLVE_FULL_TYPE)
+def canonicalize_full_udf(urls: pd.Series) -> pd.DataFrame:
+    """Fused canonicalize → host → registered-domain (seed bootstrap)."""
+    canon = urls.map(canonicalize_url)
+    host = canon.map(lambda u: host_of(u) if u else None)
+    reg = host.map(lambda h: registered_domain(h) if h else None)
+    return pd.DataFrame({"url_canon": canon, "host": host, "reg_domain": reg})
 
 
 @pandas_udf(StringType())

@@ -81,17 +81,36 @@ class SnapshotCatalog:
             {k: dict(v) for k, v in prev["tables"].items()} if prev else {}
         )
 
+        # Submit all table writes as CONCURRENT Spark jobs (driver threads):
+        # the scheduler interleaves their tasks, so commit wall time is the
+        # max of the writes, not the sum — per-epoch fixed cost is the
+        # scaling-efficiency killer at high core counts.
+        jobs: list[tuple[str, str, str, DataFrame]] = []
         for name, df in (replace or {}).items():
-            rel = f"{name}/snap-{snap_id:06d}"
-            df.write.mode("overwrite").parquet(os.path.join(self.data_dir, rel))
-            tables[name] = {"kind": "replace", "paths": [rel]}
-
+            jobs.append(("replace", name, f"{name}/snap-{snap_id:06d}", df))
         for name, df in (append or {}).items():
-            rel = f"{name}/delta-{snap_id:06d}"
+            jobs.append(("append", name, f"{name}/delta-{snap_id:06d}", df))
+
+        def write(job):
+            _, _, rel, df = job
             df.write.mode("overwrite").parquet(os.path.join(self.data_dir, rel))
-            entry = tables.get(name, {"kind": "append", "paths": []})
-            entry["paths"] = list(entry["paths"]) + [rel]
-            tables[name] = entry
+
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                list(pool.map(write, jobs))
+        else:
+            for job in jobs:
+                write(job)
+
+        for kind, name, rel, _df in jobs:
+            if kind == "replace":
+                tables[name] = {"kind": "replace", "paths": [rel]}
+            else:
+                entry = tables.get(name, {"kind": "append", "paths": []})
+                entry["paths"] = list(entry["paths"]) + [rel]
+                tables[name] = entry
 
         manifest = {
             "snapshot_id": snap_id,
