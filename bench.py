@@ -91,7 +91,10 @@ def jvm_ceiling(spark, n_rows: int = 600_000_000) -> float:
 def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
                 max_epochs: int, warmup: bool = True,
                 replenish: int = 1000, epoch_window_ms: int = 36_000_000) -> dict:
-    """One full crawl of a deterministic spark_world; returns throughput.
+    """One full crawl of a deterministic spark_world; returns throughput,
+    including per-epoch wall/attempt/job-count samples (the sandbox VM has
+    ±2-3x wall-clock noise from host steal, so scaling efficiency is judged
+    on MEDIANS over per-epoch throughput samples, not a single wall clock).
 
     A tiny untimed warmup crawl first exercises every stage shape (python
     workers, codegen, Arrow paths) so the timed run measures steady state.
@@ -137,20 +140,35 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
         root = tempfile.mkdtemp(prefix=f"crawl_bench_{cpus}_")
         eng = FrontierEngine(spark, cfg, root, dfs["pages"], dfs["robots"],
                              dfs["seeds"], use_bloom=True)
-        eng.bootstrap()
+        eng.bootstrap()  # includes world materialization (setup, untimed)
+        epochs = []
         t0 = time.time()
-        stats = eng.run(max_epochs=max_epochs)
+        for _ in range(max_epochs):
+            if eng.meta().get("done"):
+                break
+            te = time.time()
+            st = eng.run_epoch()
+            e_wall = time.time() - te
+            epochs.append({
+                "attempts": st.attempts,
+                "wall_sec": round(e_wall, 2),
+                "urls_per_sec": round(st.attempts / e_wall, 1),
+                "n_jobs": eng.last_timings.get("n_jobs"),
+                "phases": {k: v for k, v in eng.last_timings.items()
+                           if k != "n_jobs"},
+            })
+            if st.attempts == 0 and st.queued_remaining == 0:
+                break
         wall = time.time() - t0
-        attempts = sum(s.attempts for s in stats)
-        new_urls = sum(s.new_urls for s in stats)
+        attempts = sum(e["attempts"] for e in epochs)
         shutil.rmtree(root, ignore_errors=True)
         return {
             "cpus": cpus,
-            "epochs": len(stats),
+            "epochs": len(epochs),
             "fetch_attempts": attempts,
-            "urls_discovered": new_urls,
             "wall_sec": round(wall, 2),
             "urls_per_sec": round(attempts / wall, 1),
+            "epoch_samples": epochs,
             "jvm_ceiling_rows_per_sec": jvm_ceiling(spark),
         }
     finally:
@@ -227,18 +245,25 @@ def write_report(result: dict) -> None:
         lines += [
             "## Crawl engine scaling (same world, two parallelism levels)",
             "",
-            "| cores | epochs | fetch attempts | urls discovered | wall s | urls/s |",
-            "|---|---|---|---|---|---|",
+            f"{c['n_runs']} fresh-JVM runs per core count, "
+            f"{c['epochs_per_run']} epochs per run; each epoch is one "
+            "throughput sample (attempts / epoch wall). The shared-VM "
+            "sandbox has ±2-3x wall-clock noise from host steal, so the "
+            "efficiency headline is the MEDIAN over per-epoch samples.",
+            "",
+            "| cores | samples | median urls/s | best urls/s | jobs/epoch |",
+            "|---|---|---|---|---|",
         ]
-        for r in c["runs"]:
+        for r in (c["low"], c["high"]):
             lines.append(
-                f"| {r['cpus']} | {r['epochs']} | {r['fetch_attempts']} | "
-                f"{r['urls_discovered']} | {r['wall_sec']} | {r['urls_per_sec']} |"
+                f"| {r['cpus']} | {r['n_samples']} | {r['median_urls_per_sec']} | "
+                f"{r['best_urls_per_sec']} | {r['jobs_per_epoch']} |"
             )
         lines += [
             "",
             f"**scaling efficiency {c['n_low']}→{c['n_high']} cores: "
-            f"{c['efficiency']}** (target ≥ 0.8; efficiency = "
+            f"{c['efficiency']}** (median-based; best-run-based: "
+            f"{c['efficiency_best']}; target ≥ 0.8; efficiency = "
             "(thr_4N/thr_N)/(4N/N))",
             "",
             f"Machine context: this sandbox is a shared Firecracker VM; an "
@@ -251,6 +276,11 @@ def write_report(result: dict) -> None:
             f"executors the ceiling is ~1.0 and the crawl's partitioning "
             f"(uniform url-hash bloom shards, per-host top-k prefix, "
             f"parallel snapshot writes) carries its relative efficiency.",
+            "",
+            "Fixed cost per epoch is bounded by design: the engine runs a "
+            "constant ~15 Spark jobs per epoch regardless of data volume "
+            "(4 pinned intermediates, 1 metrics collect, 5 parallel commit "
+            "writes + bloom update + scans), measured per-epoch above.",
             "",
         ]
     if "dedup" in result:
@@ -287,6 +317,8 @@ def main() -> None:
     }
 
     if DO_SCALING:
+        import statistics
+
         # N→4N executor-scaling evidence in sandbox form: the same job at
         # local[N] and local[4N]. N=4 → 4N=16 stays within the box's
         # physical cores (local[32] lands in SMT oversubscription, where
@@ -294,31 +326,66 @@ def main() -> None:
         # measured and reported as jvm_ceiling below).
         n_low = max(CPUS // 8, 2)
         n_high = n_low * 4
+        n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+        epochs_per_run = 3
         kw = dict(n_pages=1_000_000, n_hosts=3000, n_seeds=600_000,
-                  max_epochs=2)
+                  max_epochs=epochs_per_run)
 
-        def best_of(n, cpus):
-            # shared-VM noise mitigation: wall-clock varies ±50% run-to-run
-            # (host steal); throughput CAPABILITY is the best observed run
-            rs = [crawl_bench_subprocess(cpus, **kw) for _ in range(n)]
-            return max(rs, key=lambda r: r["urls_per_sec"])
+        def sample(cpus):
+            """k fresh-JVM runs; per-epoch throughput samples + medians.
 
-        runs = [best_of(2, n_low), best_of(2, n_high)]
-        thr_low, thr_high = runs[0]["urls_per_sec"], runs[1]["urls_per_sec"]
-        eff = (thr_high / thr_low) / (n_high / n_low)
+            Median over per-epoch samples (advisor guidance): a ratio of
+            maxima is biased and unstable under the VM's ±2-3x steal noise;
+            the median of 9 per-epoch samples is a stable estimator."""
+            runs = [crawl_bench_subprocess(cpus, **kw) for _ in range(n_runs)]
+            eps = [e for r in runs for e in r["epoch_samples"]]
+            return {
+                "cpus": cpus,
+                "runs": runs,
+                "n_samples": len(eps),
+                "median_urls_per_sec": round(
+                    statistics.median(e["urls_per_sec"] for e in eps), 1
+                ),
+                "best_urls_per_sec": round(
+                    max(r["urls_per_sec"] for r in runs), 1
+                ),
+                "jobs_per_epoch": max(e["n_jobs"] or 0 for e in eps),
+                "median_jvm_ceiling": statistics.median(
+                    r["jvm_ceiling_rows_per_sec"] for r in runs
+                ),
+            }
+
+        low, high = sample(n_low), sample(n_high)
+        eff = (high["median_urls_per_sec"] / low["median_urls_per_sec"]) / (
+            n_high / n_low
+        )
+        eff_best = (high["best_urls_per_sec"] / low["best_urls_per_sec"]) / (
+            n_high / n_low
+        )
         # same-methodology machine ceiling: how well a PERFECT parallel job
         # scales across the same two core counts on this box right now
-        ceil_ratio = (runs[1]["jvm_ceiling_rows_per_sec"]
-                      / runs[0]["jvm_ceiling_rows_per_sec"])
-        ceil_eff = ceil_ratio / (n_high / n_low)
+        ceil_eff = (
+            high["median_jvm_ceiling"] / low["median_jvm_ceiling"]
+        ) / (n_high / n_low)
         result["crawl"] = {
-            "runs": runs,
+            "low": low,
+            "high": high,
             "n_low": n_low,
             "n_high": n_high,
+            "n_runs": n_runs,
+            "epochs_per_run": epochs_per_run,
             "efficiency": round(eff, 3),
+            "efficiency_best": round(eff_best, 3),
             "machine_ceiling_efficiency": round(ceil_eff, 3),
             "efficiency_vs_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
-            "peak_urls_per_sec": max(r["urls_per_sec"] for r in runs),
+            "peak_urls_per_sec": max(
+                low["best_urls_per_sec"], high["best_urls_per_sec"]
+            ),
+            "peak_measured_at_cores": (
+                n_low
+                if low["best_urls_per_sec"] >= high["best_urls_per_sec"]
+                else n_high
+            ),
         }
 
     write_report(result)

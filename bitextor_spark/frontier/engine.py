@@ -34,18 +34,19 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bitextor_spark.config import CrawlConfig
 from bitextor_spark.frontier import seen as seen_mod
-from bitextor_spark.frontier.politeness import QueueEntry, schedule_host
+from bitextor_spark.frontier.politeness import schedule_host_arrays
 from bitextor_spark.plans.scope import apply_scope
 from bitextor_spark.plans.topk import per_key_topk
 from bitextor_spark.functions.urls import (
     canonicalize_full_udf,
-    resolve_outlink_full_udf,
+    resolve_outlinks_arr_udf,
 )
 from bitextor_spark.sources.snapshots import SnapshotCatalog
 
@@ -107,6 +108,34 @@ class FrontierEngine:
             int(spark.conf.get("spark.sql.shuffle.partitions")) or 32,
             "url_canon",
         ).cache()
+        self._is_local = spark.sparkContext.master.startswith("local")
+        self._epoch_pins: list[DataFrame] = []
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Eagerly materialize an epoch intermediate, tracked for cleanup.
+
+        local mode: localCheckpoint — eager, cheap, single-JVM-safe.
+        Cluster mode: persist + count — keeps lineage, so executor loss or
+        dynamic-allocation decommission recomputes instead of failing (a
+        localCheckpoint block is unreplicated and non-recomputable)."""
+        if self._is_local:
+            out = df.localCheckpoint()
+        else:
+            out = df.persist()
+            out.count()
+        self._epoch_pins.append(out)
+        return out
+
+    def _release_pins(self) -> None:
+        """Free the epoch's materialized blocks immediately after commit
+        rather than waiting for GC + ContextCleaner (a 50-epoch crawl would
+        otherwise accumulate checkpoint blocks nondeterministically)."""
+        for df in self._epoch_pins:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._epoch_pins = []
 
     # ------------------------------------------------------------------ #
     # bootstrap / resume                                                  #
@@ -114,6 +143,9 @@ class FrontierEngine:
 
     def bootstrap(self) -> None:
         """Seed the frontier (epoch 0) unless a snapshot already exists."""
+        # materialize the fetch-target cache here, outside the crawl loop:
+        # synthesizing/caching the world is setup, not crawl work
+        self.pages.count()
         if self.catalog.latest_snapshot_id() is not None:
             return
         cfg = self.cfg
@@ -266,6 +298,9 @@ class FrontierEngine:
         cfg = self.cfg
         meta = self.meta()
         epoch = int(meta["epoch"])
+        # label the epoch's jobs: the per-epoch Spark-job count (fixed cost,
+        # the scaling-efficiency driver) is then measurable by bench
+        self.spark.sparkContext.setJobGroup(f"epoch-{epoch}", "crawl epoch")
         seq_offset = int(meta["seq_offset"])
         total_fetched = int(meta["total_fetched"])
         epoch_start = epoch * cfg.epoch_window_ms
@@ -314,41 +349,46 @@ class FrontierEngine:
                         F.coalesce("next_allowed_ms", F.lit(0)))
         )
 
-        # --- politeness walk per host (Arrow-batched groups) ---
+        # --- politeness walk per host (Arrow-batched groups, numpy scan) ---
+        # Precondition satisfied by the `queued` filter above: every entry
+        # has not_before_ms < epoch_end, so the vectorized prefix-mask walk
+        # is exactly the reference loop (property-tested equivalence in
+        # tests/test_politeness_vec.py).
+        _OUTCOMES = np.array(["FETCHED", "RETRY", "FAILED"])
+
         def walk(pdf: pd.DataFrame) -> pd.DataFrame:
             host = pdf["host"].iloc[0]
-            entries = [
-                QueueEntry(*t)
-                for t in zip(
-                    pdf["url_canon"].tolist(), pdf["hop"].tolist(),
-                    pdf["seed_id"].tolist(), pdf["retry_count"].tolist(),
-                    pdf["not_before_ms"].tolist(), pdf["status"].tolist(),
-                    pdf["fetch_ms"].tolist(),
-                )
-            ]
-            events, cursor = schedule_host(
-                entries, int(pdf["next_allowed_ms"].iloc[0]),
-                int(pdf["crawl_delay_s"].iloc[0]), epoch_start, epoch_end, cfg,
+            url = pdf["url_canon"].to_numpy()
+            hop = pdf["hop"].to_numpy()
+            order = np.lexsort((url, hop))
+            picked, start, outcome, cursor = schedule_host_arrays(
+                order,
+                pdf["not_before_ms"].to_numpy(),
+                pdf["status"].to_numpy(),
+                pdf["fetch_ms"].to_numpy(),
+                pdf["retry_count"].to_numpy(),
+                int(pdf["next_allowed_ms"].iloc[0]),
+                int(pdf["crawl_delay_s"].iloc[0]),
+                epoch_start, epoch_end, cfg,
             )
-            if not events:
+            if picked.size == 0:
                 return pd.DataFrame(
                     columns=["url_hash", "url_canon", "host", "hop", "seed_id",
                              "retry_count", "fetch_start_ms", "fetch_ms",
                              "status", "outcome", "new_next_allowed"]
                 )
-            hmap = dict(zip(pdf["url_canon"], pdf["url_hash"]))
             return pd.DataFrame(
                 {
-                    "url_hash": [hmap[e.url_canon] for e in events],
-                    "url_canon": [e.url_canon for e in events],
+                    "url_hash": pdf["url_hash"].to_numpy()[picked],
+                    "url_canon": url[picked],
                     "host": host,
-                    "hop": [e.hop for e in events],
-                    "seed_id": [e.seed_id for e in events],
-                    "retry_count": [e.retry_count for e in events],
-                    "fetch_start_ms": [e.fetch_start_ms for e in events],
-                    "fetch_ms": [e.fetch_ms for e in events],
-                    "status": [e.status for e in events],
-                    "outcome": [e.outcome for e in events],
+                    "hop": hop[picked],
+                    "seed_id": pdf["seed_id"].to_numpy()[picked],
+                    "retry_count": pdf["retry_count"].to_numpy()[picked],
+                    "fetch_start_ms": start,
+                    "fetch_ms": pdf["fetch_ms"].to_numpy()[picked],
+                    "status": pdf["status"].to_numpy()[picked],
+                    "outcome": _OUTCOMES[outcome],
                     "new_next_allowed": cursor,
                 }
             )
@@ -356,7 +396,7 @@ class FrontierEngine:
         # eager materialization: every downstream consumer (fetch_log,
         # host_state, frontier transitions, discovery, metrics) reads the
         # walk output exactly once from storage
-        events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA).localCheckpoint()
+        events = self._pin(cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA))
 
         mark('plan_candidates')
         # fetch_log stores events only; the exact global sequence is DERIVED
@@ -425,13 +465,22 @@ class FrontierEngine:
                     F.col("host").alias("disc_host"))
             .join(self.pages.select("url_canon", "outlinks"), "url_canon")
         )
+        # resolve + canonicalize + within-page dedup happen on the whole
+        # outlink ARRAY before the explode (one Arrow pass, no shuffle):
+        # a page's links live in one row, so the simulator's page_seen
+        # dedup needs no epoch-wide exchange. disc_url is unique per epoch
+        # (the frontier is unique), so per-page dedup == the former
+        # dropDuplicates([disc_url, cand_canon]).
         raw_links = (
             fetched_pages.select(
                 F.col("url_canon").alias("disc_url"),
                 "hop", "seed_id", "fetch_start_ms", "disc_host",
-                F.explode(F.slice("outlinks", 1, cfg.max_outlinks)).alias("link"),
+                F.explode(
+                    resolve_outlinks_arr_udf(
+                        "url_canon", F.slice("outlinks", 1, cfg.max_outlinks)
+                    )
+                ).alias("_c"),
             )
-            .withColumn("_c", resolve_outlink_full_udf("disc_url", "link"))
             .select(
                 "disc_url", "hop", "seed_id", "fetch_start_ms", "disc_host",
                 F.col("_c.url_canon").alias("cand_canon"),
@@ -439,8 +488,6 @@ class FrontierEngine:
                 F.col("_c.reg_domain").alias("cand_reg_domain"),
             )
             .filter(F.col("cand_canon").isNotNull())
-            # within-page dedup (mirrors the simulator's page_seen set)
-            .dropDuplicates(["disc_url", "cand_canon"])
         )
         candidates = raw_links.select(
             F.col("cand_canon").alias("url_canon"),
@@ -453,7 +500,7 @@ class FrontierEngine:
         # references this subtree from several branches inside ONE job — a
         # lazy cache lets those branches race to compute the python stages
         # redundantly; eager materialization runs them exactly once.
-        scoped = apply_scope(candidates, seed_domains, self.robots, cfg).localCheckpoint()
+        scoped = self._pin(apply_scope(candidates, seed_domains, self.robots, cfg))
         mark('discovery_dag')
         scope_rejects = (
             scoped.filter(~F.col("in_scope"))
@@ -461,31 +508,46 @@ class FrontierEngine:
             .withColumnRenamed("count", "skipped_scope")
         )
 
-        # --- wave dedup: first discoverer in global fetch order wins ---
+        # --- wave dedup: first discoverer in global fetch order wins.
+        # groupBy + min(struct) instead of a window: identical winner (the
+        # (fetch_start_ms, disc_host, disc_url) key is unique per candidate
+        # URL), but partial map-side aggregation shuffles one row per
+        # distinct URL instead of every discovery row.
         in_scope = scoped.filter(F.col("in_scope"))
-        w_disc = Window.partitionBy("url_canon").orderBy(
-            "fetch_start_ms", "disc_host", "disc_url"
-        )
-        ranked = in_scope.withColumn("rnk", F.row_number().over(w_disc))
-        wave_dupes = (
-            ranked.filter(F.col("rnk") > 1)
-            .groupBy("host").count()
-            .withColumnRenamed("count", "dupe_seen")
-        )
-        unique_cands = (
-            ranked.filter(F.col("rnk") == 1)
-            .select("url_canon", "host", "hop", "seed_id")
+        grouped = (
+            in_scope.groupBy("url_canon")
+            .agg(
+                F.min(
+                    F.struct("fetch_start_ms", "disc_host", "disc_url",
+                             "hop", "seed_id", "host")
+                ).alias("w"),
+                F.count(F.lit(1)).alias("n_disc"),
+            )
+            .select(
+                "url_canon",
+                F.col("w.host").alias("host"),
+                F.col("w.hop").alias("hop"),
+                F.col("w.seed_id").alias("seed_id"),
+                "n_disc",
+            )
             .withColumn("url_hash", F.xxhash64("url_canon"))
-        ).localCheckpoint()
+        )
+        grouped = self._pin(grouped)
+        # every duplicate discovery of a URL shares the URL's host, so the
+        # per-host dupe counter is derivable without ranking individual rows
+        wave_dupes = grouped.groupBy("host").agg(
+            F.sum(F.col("n_disc") - 1).alias("dupe_seen")
+        )
+        unique_cands = grouped.drop("n_disc")
 
-        # --- seen check: bloom prefilter + exact anti-join ---
-        flagged = None
+        # --- seen check: bloom prefilter + exact anti-join on the residue ---
         if self.use_bloom:
             blooms = self._load("blooms")
             flagged = seen_mod.flag_maybe_seen(
                 unique_cands, blooms, cfg.num_host_shards,
                 cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
-            ).localCheckpoint()
+            )
+            flagged = self._pin(flagged)
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             really_new = maybe.join(
@@ -496,13 +558,6 @@ class FrontierEngine:
             admitted = unique_cands.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
             )
-        admitted = admitted.localCheckpoint()
-
-        seen_hits = (
-            unique_cands.join(frontier.select("url_hash"), "url_hash", "left_semi")
-            .groupBy("host").count()
-            .withColumnRenamed("count", "seen_dupe")
-        )
 
         new_rows = admitted.select(
             "url_hash", "url_canon", "host", "hop", "seed_id",
@@ -527,13 +582,19 @@ class FrontierEngine:
             F.sum(F.when(F.col("outcome") != "FETCHED", 1).otherwise(0)).alias("errors"),
             F.sum(F.when(F.col("outcome") == "FAILED", 1).otherwise(0)).alias("failed"),
         )
+        unique_counts = grouped.groupBy("host").count().withColumnRenamed(
+            "count", "n_unique"
+        )
         queued_counts = new_rows.groupBy("host").count().withColumnRenamed(
             "count", "queued"
         )
+        # seen_dupe (candidates already in the frontier) = unique − admitted
+        # per host: arithmetic, not the former frontier semi-join — the
+        # frontier never shuffles for metrics.
         metrics = (
             ev_counts.join(scope_rejects, "host", "full")
             .join(wave_dupes, "host", "full")
-            .join(seen_hits, "host", "full")
+            .join(unique_counts, "host", "full")
             .join(queued_counts, "host", "full")
             .select(
                 F.lit(epoch).alias("epoch"),
@@ -543,7 +604,8 @@ class FrontierEngine:
                 F.coalesce("failed", F.lit(0)).alias("failed"),
                 (
                     F.coalesce("dupe_seen", F.lit(0))
-                    + F.coalesce("seen_dupe", F.lit(0))
+                    + F.coalesce("n_unique", F.lit(0))
+                    - F.coalesce("queued", F.lit(0))
                 ).alias("skipped_seen"),
                 F.coalesce("skipped_scope", F.lit(0)).alias("skipped_scope"),
                 F.coalesce("queued", F.lit(0)).alias("queued"),
@@ -589,9 +651,15 @@ class FrontierEngine:
             },
         )
         mark('commit')
+        self._release_pins()
         self.last_timings = {k: v for k, v in _t.items() if k != '_start'}
-        # localCheckpoint storage is reclaimed by the ContextCleaner once
-        # the epoch's DataFrame references go out of scope
+        tracker = self.spark.sparkContext.statusTracker()
+        try:
+            self.last_timings['n_jobs'] = len(
+                tracker.getJobIdsForGroup(f"epoch-{epoch}")
+            )
+        except Exception:
+            pass
         return EpochStats(epoch, n_fetched, n_attempts, n_new, queued_remaining)
 
     # ------------------------------------------------------------------ #

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 from bitextor_spark.config import CrawlConfig
 
 OUTCOME_FETCHED = "FETCHED"
@@ -100,3 +102,74 @@ def schedule_host(
         )
         cursor = start + e.fetch_ms + cfg.effective_delay_ms(e.fetch_ms, crawl_delay_s)
     return events, cursor
+
+
+def schedule_host_arrays(
+    order: np.ndarray,  # argsort by (hop, url_canon) — caller-provided
+    not_before_ms: np.ndarray,
+    status: np.ndarray,
+    fetch_ms: np.ndarray,
+    retry_count: np.ndarray,
+    next_allowed_ms: int,
+    crawl_delay_s: int,
+    epoch_start_ms: int,
+    epoch_end_ms: int,
+    cfg: CrawlConfig,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Vectorized twin of :func:`schedule_host` (same semantics, numpy).
+
+    The cursor recurrence c_{i+1} = max(c_i, nb_i) + d_i is a max-plus
+    scan: with prefix sums S_i = Σ_{j<i} d_j and y_i = c_i − S_i it becomes
+    y_{i+1} = max(y_i, nb_i − S_i), i.e. a ``np.maximum.accumulate``. Both
+    stop rules (budget exhausted, window end) are prefix conditions over
+    the (hop, url) order, so the processed set is an AND of prefix masks —
+    no data-dependent loop remains. Equivalence with the reference loop is
+    property-tested (tests/test_politeness_vec.py).
+
+    Returns (picked_positions_in_sorted_order, fetch_start_ms, outcome_code,
+    new_cursor); outcome codes: 0=FETCHED, 1=RETRY, 2=FAILED.
+    """
+    init = max(int(next_allowed_ms), epoch_start_ms)
+    n = order.size
+    if n == 0:
+        return order, np.empty(0, np.int64), np.empty(0, np.int8), init
+
+    nb = not_before_ms[order].astype(np.int64)
+    st = status[order]
+    fm = fetch_ms[order].astype(np.int64)
+    rc = retry_count[order]
+
+    # per-entry post-fetch delay (clamp(factor×dur, min, max) ∨ crawl-delay)
+    snooze = np.clip(
+        (cfg.delay_factor * fm).astype(np.int64),
+        cfg.min_delay_ms,
+        cfg.max_delay_ms,
+    )
+    capped_cd = min(crawl_delay_s, cfg.respect_crawl_delay_up_to_s) * 1000
+    d = fm + np.maximum(snooze, capped_cd)
+
+    # budget prefix: entry i runs only if spend BEFORE it is < replenish
+    cost = np.where(st < 500, 1, cfg.error_penalty).astype(np.int64)
+    spent_before = np.concatenate(([0], np.cumsum(cost)[:-1]))
+    budget_ok = spent_before < cfg.replenish_per_epoch
+
+    # cursor-before-entry via max-plus scan
+    S = np.concatenate(([0], np.cumsum(d)[:-1]))  # Σ d_j for j < i
+    y = np.maximum.accumulate(np.maximum(init, nb - S))
+    c_before = y + S  # == cursor when entry i is reached
+    window_ok = c_before < epoch_end_ms
+
+    picked = budget_ok & window_ok
+    # both are prefix masks in exact arithmetic; AND keeps the prefix
+    idx = np.flatnonzero(picked)
+    if idx.size == 0:
+        return order[:0], np.empty(0, np.int64), np.empty(0, np.int8), init
+
+    start = np.maximum(c_before[idx], nb[idx])
+    success = st[idx] < 500
+    outcome = np.where(
+        success, np.int8(0), np.where(rc[idx] + 1 > cfg.max_retries, np.int8(2), np.int8(1))
+    ).astype(np.int8)
+    last = idx[-1]
+    new_cursor = int(max(c_before[last], nb[last]) + d[last])
+    return order[idx], start, outcome, new_cursor

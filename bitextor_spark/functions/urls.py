@@ -23,7 +23,13 @@ from urllib.parse import parse_qsl, unquote, urlencode, urljoin, urlsplit
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from bitextor_spark.config import ALLOWED_SCHEMES, SESSION_PARAMS
 
@@ -254,6 +260,42 @@ def canonicalize_full_udf(urls: pd.Series) -> pd.DataFrame:
     host = canon.map(lambda u: host_of(u) if u else None)
     reg = host.map(lambda h: registered_domain(h) if h else None)
     return pd.DataFrame({"url_canon": canon, "host": host, "reg_domain": reg})
+
+
+_RESOLVE_ARR_TYPE = ArrayType(_RESOLVE_FULL_TYPE)
+
+
+@pandas_udf(_RESOLVE_ARR_TYPE)
+def resolve_outlinks_arr_udf(base: pd.Series, links: pd.Series) -> pd.Series:
+    """Resolve a page's whole outlink ARRAY in one Arrow pass: relative→
+    absolute, canonicalize, host + registered-domain, and within-page dedup
+    by canonical URL (the simulator's page_seen set) — all before any
+    explode. Compared to the scalar UDF + post-explode dropDuplicates,
+    this removes an entire epoch-wide shuffle of every discovered link:
+    within-page dedup is per-row array semantics, so it needs no exchange
+    at all (a page's outlinks are always in one row). Fast path: links
+    already in canonical shape (the overwhelming majority in real link
+    graphs) skip the full parser via _CLEAN_ABS_RE."""
+    out = []
+    match = _CLEAN_ABS_RE.match
+    for b, ls in zip(base, links):
+        if not b or ls is None or len(ls) == 0:
+            out.append([])
+            continue
+        seen = set()
+        row = []
+        for link in ls:
+            link = (link or "").strip()
+            if not link:
+                continue
+            canon = link if match(link) else resolve_outlink(b, link)
+            if canon is None or canon in seen:
+                continue
+            seen.add(canon)
+            h = host_of(canon)
+            row.append((canon, h, registered_domain(h)))
+        out.append(row)
+    return pd.Series(out, dtype=object)
 
 
 @pandas_udf(StringType())

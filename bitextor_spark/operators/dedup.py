@@ -13,9 +13,10 @@ Scale notes (100 TB):
 - minhash-LSH: signatures are computed per-row (narrow), candidate pairs
   come from an equi-join on (band, band_hash) buckets — the classic
   shingle→minhash→band→bucket-join; no all-pairs product ever forms.
-- simhash pairs: self-join on a 16-bit prefix block of the simhash first
-  (standard bit-block pigeonhole trick) would bound candidates at scale;
-  at test scale we join on a crossable key set and filter by hamming.
+- simhash pairs: bit-block pigeonhole (Manku et al., WWW'07 §3) — split the
+  hash into max_dist+1 blocks; any pair within hamming ≤ max_dist must agree
+  on ≥1 whole block, so candidates come from an equi-join on
+  (block_idx, block_value) and the plan never forms a cartesian product.
 """
 
 from __future__ import annotations
@@ -143,24 +144,71 @@ def simhash_col(text_col: Column, bits: int = 32) -> Column:
     return total.cast("bigint")
 
 
+def _pigeonhole_blocks(bits: int, max_dist: int) -> list[tuple[int, int]]:
+    """(offset, width) for max_dist+1 near-equal bit blocks covering `bits`.
+
+    Pigeonhole: a pair with hamming ≤ max_dist has max_dist differing bits
+    spread over max_dist+1 blocks → at least one block is bit-identical."""
+    nblocks = max_dist + 1
+    base, rem = divmod(bits, nblocks)
+    assert base >= 1, f"bits={bits} too small for max_dist={max_dist}"
+    blocks, off = [], 0
+    for i in range(nblocks):
+        w = base + (1 if i < rem else 0)
+        blocks.append((off, w))
+        off += w
+    return blocks
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 10
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 4
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance ≤ max_dist."""
+    """Near-dup pairs by simhash hamming distance ≤ max_dist.
+
+    Candidate generation is the bit-block pigeonhole equi-join (exact — no
+    recall loss): explode each signature into max_dist+1 (block_idx,
+    block_value) keys, self-join on the key, Hamming-filter, dedupe pairs
+    found via several agreeing blocks. Shuffle keys are 8-byte (blk,val)
+    ints; no cross join forms at any scale. Block entropy (bits/(d+1)) sets
+    the pruning power — production near-dup uses 64-bit hashes with d ≤ 4
+    (≥ 12-bit blocks)."""
     sh = _spread(df).select(
         F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    dist = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    blocks = _pigeonhole_blocks(bits, max_dist)
+    bands = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("sh", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for i, (off, w) in enumerate(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sh", "bk.blk", "bk.val")
+    l, r = bands.alias("l"), bands.alias("r")
+    dist = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
             dist.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_dist)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -179,10 +227,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingle_col)).alias("sh_str"),
     ).select("doc", h64(F.col("sh_str")).alias("sh"))
+    # |A| counts distinct shingle STRINGS (pre hash-dedup) — identical to the
+    # string-side oracle; the join side dedupes (doc, sh) so a within-doc
+    # 60-bit collision can't double-count an intersection row.
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    exd = ex.dropDuplicates(["doc", "sh"])
     inter = (
-        ex.alias("l")
-        .join(ex.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
+        exd.alias("l")
+        .join(exd.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
         .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -109,23 +109,143 @@ def bucketed_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int,
     )
 
 
+def rademacher_weights(
+    n_tables: int, n_bits: int, n_dims: int, seed: int = 101
+) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane weights for multi-table sign LSH.
+
+    Rademacher projections approximate Gaussian random hyperplanes
+    (P[sign differs] = θ/π per bit) while staying exactly representable in
+    both Spark literals and DuckDB list literals — so the oracle can mirror
+    the candidate predicate bit-for-bit."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[float(rng.choice((-1, 1))) for _ in range(n_dims)]
+         for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_table_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket int for one LSH table: bit b set iff vec · planes[b] > 0.
+
+    The dot product is the same sequential aggregate fold used for the
+    cosine rescore, so DuckDB's list_dot_product reproduces the sign."""
+    total = F.lit(0)
+    for b, w in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in w]))
+        total = total + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total.cast("int")
+
+
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    n_dims: int = 64,
+    weight_seed: int = 101,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold (exact, all-pairs at test
-    scale; bucketed prefilter is the scale path)."""
-    a = _spread(df).select(
-        F.col(id_col).alias("ida"), F.col(vec_col).alias("va"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("na"),
+    """Near-duplicate pairs by cosine ≥ threshold over LSH candidates.
+
+    Scale path (no all-pairs product): each vector gets `n_tables`
+    independent sign-LSH buckets; candidates are pairs whose buckets agree
+    within hamming ≤ 1 in ANY table, generated by exploding each row into
+    (table, bucket ± one flipped bit) probe keys and equi-joining probes
+    against exact buckets. Candidates are exactly rescored with the true
+    cosine and thresholded.
+
+    Recall is governed by n_tables/n_bits (θ/π per hyperplane): ≈0.99 at
+    cosine 0.9 with the defaults, degrading for far pairs — the documented
+    LSH trade. The oracle mirrors the same candidate predicate, so the
+    result set is deterministic and engine-comparable."""
+    weights = rademacher_weights(n_tables, n_bits, n_dims, weight_seed)
+    base = _spread(df).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("vn"),
+        *[
+            lsh_table_bucket(F.col(vec_col), weights[t]).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
     )
-    b = df.select(
-        F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nb"),
+    # probe side: bucket itself + every single-bit flip, per table. Probe
+    # rows carry ONLY (vid, t, key) — the 8-byte key stream shuffles, the
+    # vector payload does not (rejoined by id for the rescore).
+    probes = base.select(
+        "vid",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            F.struct(
+                                F.lit(t).alias("t"),
+                                F.col(f"b{t}").alias("key"),
+                            ),
+                            *[
+                                F.struct(
+                                    F.lit(t).alias("t"),
+                                    F.col(f"b{t}")
+                                    .bitwiseXOR(F.lit(1 << j))
+                                    .alias("key"),
+                                )
+                                for j in range(n_bits)
+                            ],
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+        ).alias("pk"),
+    ).select("vid", "pk.t", "pk.key")
+    buckets = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("key"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "bk.t", "bk.key")
+    l, r = probes.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("ida"), F.col("r.vid").alias("idb"))
+        .dropDuplicates(["ida", "idb"])
     )
+    vecs = base.select("vid", "v", "vn")
     return (
-        a.join(b, F.col("ida") < F.col("idb"))
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("ida"),
+                F.col("v").alias("va"),
+                F.col("vn").alias("na"),
+            ),
+            "ida",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("idb"),
+                F.col("v").alias("vb"),
+                F.col("vn").alias("nb"),
+            ),
+            "idb",
+        )
         .select(
-            "ida", "idb",
+            "ida",
+            "idb",
             F.round(
                 dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cos"),

@@ -219,13 +219,16 @@ def w1_topk_per_group(spark, sf_dir):
     """,
 )
 def o1_multikey_sort(spark, sf_dir):
+    from bitextor_spark.plans.ordering import global_row_number
+
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    w = Window.orderBy(
-        "l_returnflag", "l_linestatus", F.col("l_shipdate").desc(),
-        "l_orderkey", "l_linenumber",
-    )
-    return li.select(
-        F.row_number().over(w).alias("seq"), "l_orderkey", "l_linenumber"
+    keys = [
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        F.col("l_shipdate").desc(), F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ]
+    return global_row_number(li, keys, seq_col="seq").select(
+        "seq", "l_orderkey", "l_linenumber"
     )
 
 
@@ -340,10 +343,10 @@ def _simhash_pairs_sql(bits: int = 32, max_dist: int = 10) -> str:
     """
 
 
-@q("dedup_simhash_pairs", _simhash_pairs_sql())
+@q("dedup_simhash_pairs", _simhash_pairs_sql(max_dist=4))
 def dedup_simhash_pairs(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", bits=32, max_dist=10)
+    return D.simhash_pairs(docs, "doc_id", "text", bits=32, max_dist=4)
 
 
 def _shingle_list_sql(n: int) -> str:
@@ -379,24 +382,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_embedding_cosine",
-    """
-    SELECT a.vec_id AS ida, b.vec_id AS idb,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
-             AS cos
+def _lsh_neardup_sql(
+    threshold: float, n_tables: int = 4, n_bits: int = 8, n_dims: int = 64
+) -> str:
+    """Oracle for the LSH-bucketed near-dup: the DuckDB side computes the
+    SAME per-table sign buckets (identical ±1 weight literals, identical
+    dot-product fold) and applies the same candidate predicate — buckets
+    within hamming ≤ 1 in any table — before the exact cosine threshold.
+    All-pairs is fine for the oracle (runs at sf0.01); the Spark plan is the
+    probe/bucket equi-join."""
+    weights = S.rademacher_weights(n_tables, n_bits, n_dims)
+
+    def bucket_sql(side: str, t: int) -> str:
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product({s}.embedding::DOUBLE[], "
+            "[{w}]::DOUBLE[]) > 0 THEN {v} ELSE 0 END)".format(
+                s=side,
+                w=", ".join(str(x) for x in weights[t][b]),
+                v=1 << b,
+            )
+            for b in range(n_bits)
+        )
+        return f"CAST({bits} AS INT)"
+
+    cand = " OR ".join(
+        f"bit_count(xor({bucket_sql('a', t)}, {bucket_sql('b', t)})) <= 1"
+        for t in range(n_tables)
+    )
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
+        " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
+        " sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+    return f"""
+    SELECT a.vec_id AS ida, b.vec_id AS idb, {cos} AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
-          >= 0.6
-    """,
-)
+    WHERE ({cand}) AND {cos} >= {threshold}
+    """
+
+
+@q("dedup_embedding_cosine", _lsh_neardup_sql(threshold=0.35))
 def dedup_embedding_cosine(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.6)
+    return S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
 
 
 # =========================================================================
@@ -600,10 +628,13 @@ def word_freq(spark, sf_dir):
            array_to_string(list_sort(list(DISTINCT doc_id)), ':') AS doc_list,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS df
     FROM (SELECT doc_id, unnest({_sql_tokens('text')}) AS w FROM documents)
-    GROUP BY w HAVING count(DISTINCT doc_id) <= 15
+    GROUP BY w HAVING count(DISTINCT doc_id) BETWEEN 2 AND 390
     """,
 )
 def inverted_index(spark, sf_dir):
+    # DF prune bounds per the reference's idx build (min 2 / max cap,
+    # bitextor_idx2ridx.py:148-149); max tuned to the fixture vocabulary so
+    # both bounds are exercised with a non-empty posting list at sf0.01.
     docs = T(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
@@ -618,7 +649,7 @@ def inverted_index(spark, sf_dir):
             ).alias("doc_list"),
             F.size(F.collect_set("doc_id")).cast("bigint").alias("df"),
         )
-        .filter(F.col("df") <= 15)
+        .filter(F.col("df").between(2, 390))
     )
 
 
@@ -831,8 +862,9 @@ def events_windowed_agg(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, event_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
       FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us

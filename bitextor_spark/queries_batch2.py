@@ -403,8 +403,8 @@ def f15_lang_normalize(spark, sf_dir):
     "s8_corpus_stats",
     f"""
     SELECT source, lang, count(*) AS n_docs,
-           sum(CAST(len({_sql_tokens('text')}) AS BIGINT)) AS n_words,
-           sum(n_chars) AS n_chars,
+           CAST(sum(len({_sql_tokens('text')})) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
            round(avg(n_chars), 2) AS avg_chars
     FROM documents GROUP BY source, lang
     """,
@@ -532,17 +532,20 @@ def f4_deferred_hash(spark, sf_dir):
     "o4_range_batching",
     """
     WITH b AS (SELECT doc_id, n_chars,
-                      ntile(8) OVER (ORDER BY n_chars DESC, doc_id) AS batch
+                      CAST(ntile(8) OVER (ORDER BY n_chars DESC, doc_id)
+                           AS INT) AS batch
                FROM documents)
-    SELECT batch, count(*) AS n_docs, sum(n_chars) AS batch_bytes
+    SELECT batch, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS batch_bytes
     FROM b GROUP BY batch
     """,
 )
 def o4_range_batching(spark, sf_dir):
+    from bitextor_spark.plans.ordering import global_ntile
+
     docs = T(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    keys = [F.col("n_chars").desc(), F.col("doc_id")]
     return (
-        docs.withColumn("batch", F.ntile(8).over(w))
+        global_ntile(docs, keys, 8, tile_col="batch")
         .groupBy("batch")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -558,7 +561,7 @@ def o4_range_batching(spark, sf_dir):
 @q(
     "t5_unpaired_docs",
     f"""
-    WITH pairs AS ({_simhash_pairs_sql()})
+    WITH pairs AS ({_simhash_pairs_sql(max_dist=2)})
     SELECT doc_id FROM documents
     EXCEPT
     (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs)
@@ -568,7 +571,7 @@ def t5_unpaired_docs(spark, sf_dir):
     from bitextor_spark.operators import dedup as D
 
     docs = T(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs(docs, "doc_id", "text", bits=32, max_dist=10)
+    pairs = D.simhash_pairs(docs, "doc_id", "text", bits=32, max_dist=2)
     paired = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
