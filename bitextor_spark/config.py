@@ -65,6 +65,35 @@ class CrawlConfig:
     max_repetitions: int = 2
     max_outlinks: int = 6000
     blacklist_hosts: tuple[str, ...] = DEFAULT_BLACKLIST
+    # transclusion chain (ACCEPT TransclusionDecideRule, maxTransHops=2,
+    # crawler-beans.cxml:131-186): embed-type links (kind derived from the
+    # resource extension) are fetchable OUTSIDE the seed-domain scope for up
+    # to max_trans_hops consecutive embed hops
+    max_trans_hops: int = 2
+    embed_extensions: tuple[str, ...] = (
+        ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".ico", ".css", ".js",
+    )
+    # custom REJECT regex list (MatchesListRegexDecideRule slot in the
+    # chain, crawler-beans.cxml:160-166); applied to the canonical URL
+    reject_url_regexes: tuple[str, ...] = (
+        r"\.(?:exe|zip|rar|iso|dmg|tgz|tar)$",
+    )
+    # prerequisite paths (ACCEPT PrerequisiteAcceptDecideRule — robots.txt
+    # style prerequisites are always fetchable, crawler-beans.cxml:183-186)
+    prerequisite_paths: tuple[str, ...] = ("/robots.txt",)
+
+    # queue precedence (C10, crawler-beans.cxml:399-428,445-494):
+    # "bfs"      — wget-mirror recursion order (hop, url), the C3 default;
+    # "priority" — OPIC-style cash order (priority desc, hop, url): seeds
+    #              start with cash 1.0, each fetched page splits its cash
+    #              equally over its resolved unique outlinks, the winning
+    #              discoverer's share becomes the child's priority.
+    # priority_floor re-expresses Heritrix's precedenceFloor: entries whose
+    # priority falls below the floor are never scheduled (Heritrix counts
+    # precedence inverted — lower=better, floor=255 — the clamp is the same
+    # rule in our higher=better cash scale).
+    queue_order: str = "bfs"
+    priority_floor: float = 0.0
 
     # budgets / retry
     replenish_per_epoch: int = 3000  # per-host fetches allowed per epoch

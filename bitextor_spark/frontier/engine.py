@@ -52,12 +52,13 @@ from bitextor_spark.sources.snapshots import SnapshotCatalog
 
 FRONTIER_SCHEMA = (
     "url_hash long, url_canon string, host string, hop int, seed_id int, "
-    "state string, retry_count int, not_before_ms long, discovered_epoch int"
+    "state string, retry_count int, not_before_ms long, discovered_epoch int, "
+    "trans_hops int, priority double"
 )
 EVENT_SCHEMA = (
     "url_hash long, url_canon string, host string, hop int, seed_id int, "
     "retry_count int, fetch_start_ms long, fetch_ms int, status int, "
-    "outcome string, new_next_allowed long"
+    "outcome string, new_next_allowed long, trans_hops int, priority double"
 )
 HOST_STATE_SCHEMA = "host string, next_allowed_ms long"
 METRIC_COLS = ("fetched", "errors", "skipped_seen", "skipped_scope", "queued")
@@ -157,6 +158,41 @@ class FrontierEngine:
             .select("seed_id", "seed_url", "_c.url_canon", "_c.host", "_c.reg_domain")
             .filter(F.col("url_canon").isNotNull())
         ).localCheckpoint()
+        # C2 https fallback (utils/common.py:155-181): a dead http seed
+        # whose https twin resolves bootstraps as https. Two probes against
+        # the co-partitioned pages cache; bootstrap-only cost.
+        page_urls = self.pages.select("url_canon")
+        https_twin = F.concat(
+            F.lit("https://"), F.substring("url_canon", len("http://") + 1, 1 << 30)
+        )
+        s = (
+            s.join(
+                page_urls.withColumn("_live", F.lit(True)), "url_canon", "left"
+            )
+            .withColumn(
+                "_twin",
+                F.when(
+                    F.col("url_canon").startswith("http://")
+                    & ~F.coalesce("_live", F.lit(False)),
+                    https_twin,
+                ),
+            )
+            .join(
+                page_urls.select(F.col("url_canon").alias("_twin"))
+                .withColumn("_twin_live", F.lit(True)),
+                "_twin",
+                "left",
+            )
+            .select(
+                "seed_id",
+                "seed_url",
+                F.when(
+                    F.coalesce("_twin_live", F.lit(False)), F.col("_twin")
+                ).otherwise(F.col("url_canon")).alias("url_canon"),
+                "host",
+                "reg_domain",
+            )
+        ).localCheckpoint()
         seed_domains = s.select("reg_domain").distinct().localCheckpoint()
         scoped = apply_scope(
             s.withColumn("hop", F.lit(0)), seed_domains, self.robots, cfg
@@ -175,6 +211,8 @@ class FrontierEngine:
                 F.lit(0).alias("retry_count"),
                 F.lit(0).cast("long").alias("not_before_ms"),
                 F.lit(0).alias("discovered_epoch"),
+                F.lit(0).alias("trans_hops"),
+                F.lit(1.0).alias("priority"),
             )
         ).localCheckpoint()  # reused by host_state, blooms, commit, count
         host_state = frontier.select("host").distinct().withColumn(
@@ -313,13 +351,22 @@ class FrontierEngine:
         queued = frontier.filter(
             (F.col("state") == "QUEUED") & (F.col("not_before_ms") < epoch_end)
         )
+        priority_mode = cfg.queue_order == "priority"
+        if priority_mode:
+            # precedence floor (C10): below-floor cash never schedules
+            queued = queued.filter(F.col("priority") >= cfg.priority_floor)
 
         # --- per-host schedulable prefix (bounds mega-host skew) ---
         k_cap = min(cfg.replenish_per_epoch,
                     cfg.epoch_window_ms // max(cfg.min_delay_ms, 1) + 2)
+        order_cols = (
+            [F.col("priority").desc(), F.col("hop"), F.col("url_canon")]
+            if priority_mode
+            else [F.col("hop"), F.col("url_canon")]
+        )
         immediate = per_key_topk(
             queued.filter(F.col("not_before_ms") <= epoch_start),
-            "host", [F.col("hop"), F.col("url_canon")], k_cap,
+            "host", order_cols, k_cap,
         )
         blocked = queued.filter(F.col("not_before_ms") > epoch_start)
         cand = immediate.unionByName(blocked)
@@ -360,7 +407,10 @@ class FrontierEngine:
             host = pdf["host"].iloc[0]
             url = pdf["url_canon"].to_numpy()
             hop = pdf["hop"].to_numpy()
-            order = np.lexsort((url, hop))
+            if priority_mode:
+                order = np.lexsort((url, hop, -pdf["priority"].to_numpy()))
+            else:
+                order = np.lexsort((url, hop))
             picked, start, outcome, cursor = schedule_host_arrays(
                 order,
                 pdf["not_before_ms"].to_numpy(),
@@ -375,7 +425,8 @@ class FrontierEngine:
                 return pd.DataFrame(
                     columns=["url_hash", "url_canon", "host", "hop", "seed_id",
                              "retry_count", "fetch_start_ms", "fetch_ms",
-                             "status", "outcome", "new_next_allowed"]
+                             "status", "outcome", "new_next_allowed",
+                             "trans_hops", "priority"]
                 )
             return pd.DataFrame(
                 {
@@ -390,6 +441,8 @@ class FrontierEngine:
                     "status": pdf["status"].to_numpy()[picked],
                     "outcome": _OUTCOMES[outcome],
                     "new_next_allowed": cursor,
+                    "trans_hops": pdf["trans_hops"].to_numpy()[picked],
+                    "priority": pdf["priority"].to_numpy()[picked],
                 }
             )
 
@@ -451,6 +504,8 @@ class FrontierEngine:
                 ).otherwise(F.col("not_before_ms")).cast("long")
                 .alias("not_before_ms"),
                 "discovered_epoch",
+                "trans_hops",
+                "priority",
             )
         )
 
@@ -462,7 +517,9 @@ class FrontierEngine:
                 & (F.col("status") >= 200) & (F.col("status") < 300)
             )
             .select("url_canon", "hop", "seed_id", "fetch_start_ms",
-                    F.col("host").alias("disc_host"))
+                    F.col("host").alias("disc_host"),
+                    F.col("trans_hops").alias("parent_trans"),
+                    F.col("priority").alias("parent_priority"))
             .join(self.pages.select("url_canon", "outlinks"), "url_canon")
         )
         # resolve + canonicalize + within-page dedup happen on the whole
@@ -474,27 +531,47 @@ class FrontierEngine:
         raw_links = (
             fetched_pages.select(
                 F.col("url_canon").alias("disc_url"),
-                "hop", "seed_id", "fetch_start_ms", "disc_host",
-                F.explode(
-                    resolve_outlinks_arr_udf(
-                        "url_canon", F.slice("outlinks", 1, cfg.max_outlinks)
-                    )
-                ).alias("_c"),
+                "hop", "seed_id", "fetch_start_ms", "disc_host", "parent_trans",
+                "parent_priority",
+                resolve_outlinks_arr_udf(
+                    "url_canon", F.slice("outlinks", 1, cfg.max_outlinks)
+                ).alias("_r"),
+            )
+            # OPIC cash split (C10): parent cash / resolved unique outlinks
+            .withColumn(
+                "cash",
+                F.when(
+                    F.size("_r") > 0, F.col("parent_priority") / F.size("_r")
+                ).otherwise(F.lit(0.0)),
             )
             .select(
                 "disc_url", "hop", "seed_id", "fetch_start_ms", "disc_host",
+                "parent_trans", "cash", F.explode("_r").alias("_c"),
+            )
+            .select(
+                "disc_url", "hop", "seed_id", "fetch_start_ms", "disc_host",
+                "parent_trans", "cash",
                 F.col("_c.url_canon").alias("cand_canon"),
                 F.col("_c.host").alias("cand_host"),
                 F.col("_c.reg_domain").alias("cand_reg_domain"),
             )
             .filter(F.col("cand_canon").isNotNull())
         )
+        from bitextor_spark.plans.scope import is_embed_col
+
         candidates = raw_links.select(
             F.col("cand_canon").alias("url_canon"),
             (F.col("hop") + 1).cast("int").alias("hop"),
             "seed_id", "fetch_start_ms", "disc_host", "disc_url",
             F.col("cand_host").alias("host"),
             F.col("cand_reg_domain").alias("reg_domain"),
+            # transclusion chain: embed hop extends the trailing-E count,
+            # a navigational hop resets it (crawler-beans.cxml:131-186)
+            F.when(
+                is_embed_col(F.col("cand_canon"), cfg),
+                F.col("parent_trans") + 1,
+            ).otherwise(F.lit(0)).cast("int").alias("trans_hops"),
+            F.col("cash").alias("priority"),
         )
         # localCheckpoint (eager), not cache(): the metrics join tree below
         # references this subtree from several branches inside ONE job — a
@@ -519,7 +596,8 @@ class FrontierEngine:
             .agg(
                 F.min(
                     F.struct("fetch_start_ms", "disc_host", "disc_url",
-                             "hop", "seed_id", "host")
+                             "hop", "seed_id", "host", "trans_hops",
+                             "priority")
                 ).alias("w"),
                 F.count(F.lit(1)).alias("n_disc"),
             )
@@ -528,6 +606,8 @@ class FrontierEngine:
                 F.col("w.host").alias("host"),
                 F.col("w.hop").alias("hop"),
                 F.col("w.seed_id").alias("seed_id"),
+                F.col("w.trans_hops").alias("trans_hops"),
+                F.col("w.priority").alias("priority"),
                 "n_disc",
             )
             .withColumn("url_hash", F.xxhash64("url_canon"))
@@ -565,6 +645,8 @@ class FrontierEngine:
             F.lit(0).alias("retry_count"),
             F.lit(0).cast("long").alias("not_before_ms"),
             F.lit(epoch + 1).alias("discovered_epoch"),
+            "trans_hops",
+            "priority",
         )
 
         frontier_next = frontier_updated.unionByName(new_rows)

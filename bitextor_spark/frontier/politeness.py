@@ -47,6 +47,7 @@ class QueueEntry(NamedTuple):
     not_before_ms: int
     status: int  # resolved page status (404 if unknown URL)
     fetch_ms: int
+    priority: float = 1.0  # OPIC cash (C10); ignored in bfs queue order
 
 
 class FetchEvent(NamedTuple):
@@ -77,7 +78,11 @@ def schedule_host(
     events: list[FetchEvent] = []
     cursor = max(next_allowed_ms, epoch_start_ms)
     budget_spent = 0
-    for e in sorted(entries, key=lambda x: (x.hop, x.url_canon)):
+    if cfg.queue_order == "priority":
+        key = lambda x: (-x.priority, x.hop, x.url_canon)  # noqa: E731
+    else:
+        key = lambda x: (x.hop, x.url_canon)  # noqa: E731
+    for e in sorted(entries, key=key):
         if budget_spent >= cfg.replenish_per_epoch:
             break
         if cursor >= epoch_end_ms:

@@ -77,36 +77,53 @@ class _Entry:
     retry_count: int = 0
     not_before_ms: int = 0
     state: str = "QUEUED"
+    trans_hops: int = 0  # trailing embed-hop count (transclusion chain)
+    priority: float = 1.0  # OPIC cash (C10)
+
+
+def _is_embed(canon: str, cfg: CrawlConfig) -> bool:
+    """Embed-kind link ('E' hop): resource extension on the path."""
+    from urllib.parse import urlsplit
+
+    path = (urlsplit(canon).path or "").lower()
+    return path.endswith(tuple(cfg.embed_extensions))
 
 
 def _in_scope(
     canon: str | None,
     host: str,
     hop: int,
+    trans_hops: int,
     seed_domains: set[str],
     robots: dict[str, tuple[int, list[str]]],
     cfg: CrawlConfig,
 ) -> bool:
+    """Full decide-rule chain (last-match-wins, crawler-beans.cxml:131-186).
+
+    Same ordered semantics as plans/scope.py::apply_scope — the two are
+    kept in lockstep by the engine↔simulator parity tests."""
     if canon is None:
         return False
-    if hop > cfg.max_hops:
-        return False
-    if any(b in host for b in cfg.blacklist_hosts):
-        return False
-    if registered_domain(host) not in seed_domains:
-        return False
+    import re
+    from urllib.parse import urlsplit
+
+    path = urlsplit(canon).path or "/"
+    if path in cfg.prerequisite_paths:
+        return True  # ACCEPT prerequisite (last rule) overrides all rejects
     if path_depth(canon) > cfg.max_path_depth:
         return False
     if max_segment_repetitions(canon) > cfg.max_repetitions:
         return False
+    if any(b in host for b in cfg.blacklist_hosts):
+        return False
+    if any(re.search(p, canon) for p in cfg.reject_url_regexes):
+        return False
     _, disallow = robots.get(host, (0, []))
-    if disallow:
-        from urllib.parse import urlsplit
-
-        path = urlsplit(canon).path or "/"
-        if any(path.startswith(p) for p in disallow):
-            return False
-    return True
+    if disallow and any(path.startswith(p) for p in disallow):
+        return False
+    if 1 <= trans_hops <= cfg.max_trans_hops:
+        return True  # ACCEPT transclusion: fetchable outside seed scope
+    return registered_domain(host) in seed_domains and hop <= cfg.max_hops
 
 
 def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
@@ -136,13 +153,21 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
     # NOTE: metrics cover fetch epochs only (the engine writes no metrics
     # for the bootstrap commit); seed admission is not counted.
     for canon, sid in seed_canons:
+        # C2 https fallback (utils/common.py:155-181 semantics): a dead
+        # http seed whose https twin exists bootstraps as https
+        if (
+            canon.startswith("http://")
+            and canon not in world.pages
+            and ("https://" + canon[len("http://"):]) in world.pages
+        ):
+            canon = "https://" + canon[len("http://"):]
         host = host_of(canon)
-        if not _in_scope(canon, host, 0, seed_domains, world.robots, cfg):
+        if not _in_scope(canon, host, 0, 0, seed_domains, world.robots, cfg):
             continue
         if canon in seen:
             continue
         seen.add(canon)
-        frontier[canon] = _Entry(hop=0, seed_id=sid)
+        frontier[canon] = _Entry(hop=0, seed_id=sid)  # seed cash 1.0
 
     total_fetched = 0
     epoch = 0
@@ -155,13 +180,15 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
         for canon, e in frontier.items():
             if e.state != "QUEUED" or e.not_before_ms >= epoch_end:
                 continue
+            if cfg.queue_order == "priority" and e.priority < cfg.priority_floor:
+                continue  # precedence floor: below-floor entries never run
             host = host_of(canon)
             page = world.pages.get(canon)
             status = page.status if page else 404
             fetch_ms = page.fetch_ms if page else cfg.default_fetch_ms
             by_host.setdefault(host, []).append(
                 QueueEntry(canon, e.hop, e.seed_id, e.retry_count,
-                           e.not_before_ms, status, fetch_ms)
+                           e.not_before_ms, status, fetch_ms, e.priority)
             )
         if not by_host:
             if not any(e.state == "QUEUED" for e in frontier.values()):
@@ -189,7 +216,7 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
         # global deterministic order
         all_events.sort(key=lambda he: (he[1].fetch_start_ms, he[0], he[1].url_canon))
 
-        discovered: dict[str, tuple[int, int]] = {}  # canon -> (hop, seed_id)
+        discovered: dict[str, tuple[int, int, int, float]] = {}  # canon -> (hop, seed_id, trans_hops, priority)
         for host, ev in all_events:
             log.append(
                 LogRow(
@@ -217,26 +244,36 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
                 page = world.pages.get(ev.url_canon)
                 if page is None:
                     continue
+                parent = frontier[ev.url_canon]
+                parent_trans = parent.trans_hops
+                # resolved unique outlinks first: the OPIC cash split is
+                # parent.priority / n over ALL resolved unique links
                 page_seen: set[str] = set()
+                uniq: list[str] = []
                 for link in page.outlinks[: cfg.max_outlinks]:
                     canon = resolve_outlink(ev.url_canon, link)
                     if canon is None or canon in page_seen:
                         continue
                     page_seen.add(canon)
+                    uniq.append(canon)
+                cash = parent.priority / len(uniq) if uniq else 0.0
+                for canon in uniq:
                     lhost = host_of(canon)
-                    if not _in_scope(canon, lhost, ev.hop + 1, seed_domains,
-                                     world.robots, cfg):
+                    trans = parent_trans + 1 if _is_embed(canon, cfg) else 0
+                    if not _in_scope(canon, lhost, ev.hop + 1, trans,
+                                     seed_domains, world.robots, cfg):
                         m(lhost or host)["skipped_scope"] += 1
                         continue
                     if canon in seen or canon in discovered:
                         m(lhost)["skipped_seen"] += 1
                         continue
-                    discovered[canon] = (ev.hop + 1, ev.seed_id)
+                    discovered[canon] = (ev.hop + 1, ev.seed_id, trans, cash)
 
         # wave barrier: admit discoveries for epoch e+1
-        for canon, (hop, sid) in discovered.items():
+        for canon, (hop, sid, trans, prio) in discovered.items():
             seen.add(canon)
-            frontier[canon] = _Entry(hop=hop, seed_id=sid)
+            frontier[canon] = _Entry(hop=hop, seed_id=sid, trans_hops=trans,
+                                     priority=prio)
             m(host_of(canon))["queued"] += 1
 
         epoch += 1

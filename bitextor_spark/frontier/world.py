@@ -155,6 +155,23 @@ def small_world(cfg: WorldConfig | None = None) -> World:
                         ]
                     )
                 )
+            # transclusion: off-seed-domain embed (ACCEPT TransclusionDecideRule)
+            if rng.random() < 0.2:
+                outlinks.append(f"http://cdn.exnet99.net/img{rng.randrange(20)}.png")
+            if rng.random() < 0.08:
+                # embed CHAIN head: a css that itself embeds further resources
+                outlinks.append(f"http://cdn.exnet99.net/style{rng.randrange(4)}.css")
+            # custom REJECT regex list (archives are never crawled)
+            if rng.random() < 0.12:
+                outlinks.append(f"http://{h}/files/archive{rng.randrange(30)}.zip")
+            # prerequisite: robots.txt is fetchable even on blacklisted hosts
+            if rng.random() < 0.06:
+                outlinks.append(
+                    rng.choice(
+                        [f"http://{h}/robots.txt",
+                         "http://www.facebook.com/robots.txt"]
+                    )
+                )
             status = 500 if rng.random() < cfg.fail_frac else 200
             image_id = None
             if rng.random() < cfg.image_frac:
@@ -169,9 +186,47 @@ def small_world(cfg: WorldConfig | None = None) -> World:
                 status=status,
             )
 
+    # deterministic prerequisite-on-blacklisted-host case: the first page of
+    # host 1 (always seeded) links a blacklisted platform's robots.txt —
+    # PrerequisiteAcceptDecideRule must admit it despite the blacklist
+    if len(all_hosts) > 1:
+        pages[host_urls[all_hosts[1]][0]].outlinks.append(
+            "http://www.facebook.com/robots.txt"
+        )
+
+    # embed-chain pages on the off-seed-domain CDN host: css (trans hop 1)
+    # embeds a png (hop 2, still accepted at maxTransHops=2) which embeds a
+    # gif (hop 3, rejected) — exercises the transclusion chain boundary.
+    for j in range(4):
+        pages[f"http://cdn.exnet99.net/style{j}.css"] = Page(
+            url_canon=f"http://cdn.exnet99.net/style{j}.css",
+            host="cdn.exnet99.net",
+            outlinks=[f"http://cdn.exnet99.net/deep{j}.png"],
+            image_id=None, fetch_ms=100 + j, status=200,
+        )
+        pages[f"http://cdn.exnet99.net/deep{j}.png"] = Page(
+            url_canon=f"http://cdn.exnet99.net/deep{j}.png",
+            host="cdn.exnet99.net",
+            outlinks=[f"http://cdn.exnet99.net/toodeep{j}.gif"],
+            image_id=None, fetch_ms=100 + j, status=200,
+        )
+
+    # https-only host (C2): its pages exist only under https, but the seed
+    # list carries the http spelling — the bootstrap must fall back
+    sec_host = "secure.exsec.com"
+    for k in range(3):
+        u = f"https://{sec_host}/p{k}.html"
+        pages[u] = Page(
+            url_canon=u, host=sec_host,
+            outlinks=[f"https://{sec_host}/p{(k + 1) % 3}.html"],
+            image_id=None, fetch_ms=120 + k, status=200,
+        )
+    robots[sec_host] = (0, [])
+
     # seeds: first page of ~60% of hosts, messy on purpose
     seed_hosts = [h for i, h in enumerate(all_hosts) if i % 5 != 4]
     seeds = [_messy(rng, host_urls[h][0]) for h in seed_hosts]
+    seeds.append(f"http://{sec_host}/p0.html")  # dead-http seed (C2)
     return World(pages=pages, robots=robots, seeds=sorted(seeds), cfg=cfg)
 
 

@@ -37,17 +37,36 @@ _WWW_RE = re.compile(r"^www\d*\.")
 _JSESSIONID_PATH_RE = re.compile(r";jsessionid=[^;?#]*", re.IGNORECASE)
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
-# Minimal multi-label public-suffix list for registered-domain extraction.
-# (The reference uses tldextract; a full PSL is an offline data file — this
-# covers the suffixes exercised by tests and is trivially extensible.)
-_MULTI_SUFFIXES = frozenset(
-    {"co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-     "co.nz", "co.za"}
-)
+# Public-suffix rules (vendored PSL subset + full matcher; psl_data.py).
+# tldextract semantics as the reference uses them (common.smk:17-36).
+from bitextor_spark.functions.psl_data import build_rules
+
+_PSL_EXACT, _PSL_WILDCARD, _PSL_EXCEPTION = build_rules()
 # Hosts on these platforms are NOT merged to the registered domain — each
 # subdomain is an independent site (common.smk:23-29 keeps them per-host).
 _PER_HOST_PLATFORMS = ("blogspot", "wordpress")
+
+
+def public_suffix(host: str) -> str:
+    """PSL algorithm (publicsuffix.org spec): exception rules win, else the
+    longest matching rule (wildcard ``*.parent`` matches one extra label),
+    else the default ``*`` rule (the bare TLD)."""
+    labels = host.split(".")
+    n = len(labels)
+    best = 1  # default rule: the TLD itself
+    for i in range(n):
+        cand = ".".join(labels[i:])
+        if cand in _PSL_EXCEPTION:
+            # public suffix = exception rule minus its leftmost label
+            return ".".join(labels[i + 1:])
+        if cand in _PSL_EXACT:
+            best = max(best, n - i)
+        if i + 1 < n and ".".join(labels[i + 1:]) in _PSL_WILDCARD:
+            best = max(best, n - i)
+        elif i + 1 == n and cand in _PSL_WILDCARD:
+            # "*.tld" also implies tld itself is not registrable at level 1
+            best = max(best, 1)
+    return ".".join(labels[n - best:])
 
 
 def canonicalize_url(url: str | None) -> str | None:
@@ -126,22 +145,23 @@ def host_of(url_canon: str) -> str:
 
 
 def registered_domain(host: str) -> str:
-    """eTLD+1-style grouping key; platform hosts stay per-host.
+    """eTLD+1 grouping key via the PSL matcher; platform hosts stay per-host.
 
     Mirrors create_domain_key_2_host_map (common.smk:17-36): group hosts by
     registered domain so whole domains co-locate in one shard, EXCEPT
     blogspot/wordpress-style platforms where each subdomain is a distinct
     site (merging them would recreate the mega-domain skew the sharding is
-    meant to kill).
+    meant to kill). tldextract-equivalent: suffix from the PSL rules
+    (exception > longest > wildcard > default *), registered = suffix + 1.
     """
     if any(p in host for p in _PER_HOST_PLATFORMS):
         return host
+    ps = public_suffix(host)
+    n_ps = ps.count(".") + 1 if ps else 0
     labels = host.split(".")
-    if len(labels) <= 2:
-        return host
-    if ".".join(labels[-2:]) in _MULTI_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    if len(labels) <= n_ps:
+        return host  # the host IS a public suffix (or shorter)
+    return ".".join(labels[len(labels) - n_ps - 1:])
 
 
 def resolve_outlink(base_url: str, link: str) -> str | None:

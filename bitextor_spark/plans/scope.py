@@ -56,6 +56,31 @@ def blacklist_col(host_col: Column, cfg: CrawlConfig) -> Column:
     return host_col.rlike(pattern)
 
 
+def is_embed_col(url_col: Column, cfg: CrawlConfig) -> Column:
+    """Transclusion-kind link: resource extension ⇒ embed hop ('E' in the
+    Heritrix hop path; kind derived from the URL, deterministic on both
+    engine and simulator)."""
+    path = F.lower(F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit("")))
+    out = F.lit(False)
+    for ext in cfg.embed_extensions:
+        out = out | path.endswith(ext)
+    return out
+
+
+def regex_reject_col(url_col: Column, cfg: CrawlConfig) -> Column:
+    """Custom REJECT regex list (MatchesListRegexDecideRule slot)."""
+    out = F.lit(False)
+    for pat in cfg.reject_url_regexes:
+        out = out | url_col.rlike(pat)
+    return out
+
+
+def prerequisite_col(url_col: Column, cfg: CrawlConfig) -> Column:
+    """Prerequisite URIs (robots.txt-style) are always fetchable."""
+    path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit("/"))
+    return path.isin(*cfg.prerequisite_paths)
+
+
 def robots_disallowed_col(url_col: Column, prefixes_col: Column) -> Column:
     path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit("/"))
     return F.when(prefixes_col.isNull(), F.lit(False)).otherwise(
@@ -69,12 +94,27 @@ def apply_scope(
     robots: DataFrame,  # host, crawl_delay_s, disallow_prefixes (broadcast)
     cfg: CrawlConfig,
     hop_col: str = "hop",
+    trans_col: str = "trans_hops",
 ) -> DataFrame:
-    """Annotate candidates (url_canon, host, reg_domain, hop) with in_scope.
+    """Annotate candidates (url_canon, host, reg_domain, hop, trans_hops)
+    with in_scope.
 
-    Returns the input plus a boolean ``in_scope`` column; the caller splits
-    kept/rejected so per-host reject metrics (C17) fall out of one pass.
+    Full decide-rule chain, last-match-wins order re-expressed as one
+    boolean (crawler-beans.cxml:131-186):
+
+      REJECT-all → ACCEPT seed-domain → REJECT hops>max →
+      ACCEPT transclusion (1 ≤ trans_hops ≤ max) → REJECT path-depth →
+      REJECT pathological-repeat → REJECT blacklist → REJECT custom-regex →
+      REJECT robots-disallow → ACCEPT prerequisite
+
+      in_scope = prereq ∨ (¬late_rejects ∧ (trans_ok ∨ (seed ∧ hop_ok)))
+
+    Returns the input plus boolean ``in_scope``; the caller splits kept/
+    rejected so per-host reject metrics (C17) fall out of one pass. If the
+    input has no ``trans_hops`` column it is treated as 0 (seed scope).
     """
+    if trans_col not in candidates.columns:
+        candidates = candidates.withColumn(trans_col, F.lit(0))
     df = (
         candidates.join(
             F.broadcast(seed_domains.withColumn("_seed_dom", F.lit(True))),
@@ -85,12 +125,20 @@ def apply_scope(
             F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
         )
     )
-    in_scope = (
-        (F.col(hop_col) <= cfg.max_hops)
-        & ~blacklist_col(F.col("host"), cfg)
-        & F.coalesce(F.col("_seed_dom"), F.lit(False))
-        & (path_depth_col(F.col("url_canon")) <= cfg.max_path_depth)
-        & (max_run_col(F.col("url_canon")) <= cfg.max_repetitions)
-        & ~robots_disallowed_col(F.col("url_canon"), F.col("disallow_prefixes"))
+    url = F.col("url_canon")
+    seed_ok = (
+        F.coalesce(F.col("_seed_dom"), F.lit(False))
+        & (F.col(hop_col) <= cfg.max_hops)
+    )
+    trans_ok = (F.col(trans_col) >= 1) & (F.col(trans_col) <= cfg.max_trans_hops)
+    late_reject = (
+        (path_depth_col(url) > cfg.max_path_depth)
+        | (max_run_col(url) > cfg.max_repetitions)
+        | blacklist_col(F.col("host"), cfg)
+        | regex_reject_col(url, cfg)
+        | robots_disallowed_col(url, F.col("disallow_prefixes"))
+    )
+    in_scope = prerequisite_col(url, cfg) | (
+        ~late_reject & (trans_ok | seed_ok)
     )
     return df.withColumn("in_scope", in_scope).drop("_seed_dom", "disallow_prefixes")

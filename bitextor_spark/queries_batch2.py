@@ -215,15 +215,23 @@ def c13_link_extract(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN 'spam.facebook.com'
                   ELSE source || '.example.com' END AS host,
-             CASE WHEN doc_id % 3 = 0 THEN '/x/y/z'
-                  WHEN doc_id % 3 = 1 THEN '/r/r/r/r'
+             CASE WHEN doc_id % 6 = 0 THEN '/x/y/z'
+                  WHEN doc_id % 6 = 1 THEN '/r/r/r/r'
+                  WHEN doc_id % 6 = 3 THEN '/files/arch.zip'
+                  WHEN doc_id % 6 = 4 THEN '/robots.txt'
+                  WHEN doc_id % 6 = 5 THEN '/img/banner.png'
                   ELSE '/' || array_to_string(
                         ['p' || i for i in generate_series(1, 25)], '/')
              END AS path,
              CAST(doc_id % 25 AS INT) AS hop
       FROM documents),
+    t AS (
+      SELECT u.*,
+             CASE WHEN path LIKE '%.png'
+                  THEN CAST(doc_id % 4 AS INT) ELSE 0 END AS trans_hops
+      FROM u),
     a AS (
-      SELECT doc_id, host, path, hop,
+      SELECT doc_id, host, path, hop, trans_hops,
              len(list_filter(string_split(path, '/'), x -> x <> '')) AS depth,
              CASE WHEN len(list_distinct(list_filter(string_split(path, '/'),
                                                      x -> x <> ''))) = 1
@@ -231,14 +239,17 @@ def c13_link_extract(spark, sf_dir):
                                            x -> x <> '')) > 1
                   THEN len(list_filter(string_split(path, '/'), x -> x <> ''))
                   ELSE 1 END AS max_run
-      FROM u)
-    SELECT doc_id, 'http://' || host || path AS url_canon, hop,
-           (hop <= 20
-            AND NOT regexp_matches(host,
+      FROM t)
+    SELECT doc_id, 'http://' || host || path AS url_canon, hop, trans_hops,
+           (path = '/robots.txt'
+            OR (NOT (depth > 20 OR max_run > 2
+                     OR regexp_matches(host,
                 'wordpress|blogspot|facebook|google|wikipedia|youtube|perehodi|twitter|instagram')
-            AND host LIKE '%.example.com'
-            AND depth <= 20 AND max_run <= 2
-            AND NOT (host = 'src0.example.com' AND path LIKE '/x%'))
+                     OR regexp_matches('http://' || host || path,
+                        '\\.(?:exe|zip|rar|iso|dmg|tgz|tar)$')
+                     OR (host = 'src0.example.com' AND path LIKE '/x%'))
+                AND (trans_hops BETWEEN 1 AND 2
+                     OR (host LIKE '%.example.com' AND hop <= 20))))
              AS in_scope
     FROM a
     """,
@@ -246,8 +257,9 @@ def c13_link_extract(spark, sf_dir):
 def c7_scope_decisions(spark, sf_dir):
     """Drives the real scope-rule chain (plans/scope.apply_scope): hop
     limit, blacklist, seed-domain acceptance, path depth, pathological
-    repeats, robots disallow prefixes — over a URL universe crafted to
-    exercise every rule."""
+    repeats, robots disallow prefixes, custom regex reject, transclusion
+    accept, prerequisite accept — over a URL universe crafted to exercise
+    every rule (crawler-beans.cxml:131-186)."""
     from bitextor_spark.config import CrawlConfig
     from bitextor_spark.functions.urls import registered_domain_udf
     from bitextor_spark.plans.scope import apply_scope
@@ -267,16 +279,25 @@ def c7_scope_decisions(spark, sf_dir):
         ),
     )
     path = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("/x/y/z"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("/r/r/r/r"))
+        F.when(F.col("doc_id") % 6 == 0, F.lit("/x/y/z"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("/r/r/r/r"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("/files/arch.zip"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("/robots.txt"))
+        .when(F.col("doc_id") % 6 == 5, F.lit("/img/banner.png"))
         .otherwise(deep)
     )
     cand = docs.select(
         "doc_id",
         host.alias("host"),
+        path.alias("_path"),
         F.concat(F.lit("http://"), host, path).alias("url_canon"),
         (F.col("doc_id") % 25).cast("int").alias("hop"),
-    ).withColumn("reg_domain", registered_domain_udf("host"))
+    ).withColumn(
+        "trans_hops",
+        F.when(
+            F.col("_path").endswith(".png"), (F.col("doc_id") % 4).cast("int")
+        ).otherwise(F.lit(0)),
+    ).drop("_path").withColumn("reg_domain", registered_domain_udf("host"))
     seed_domains = spark.createDataFrame(
         [("example.com",)], "reg_domain string"
     )
@@ -285,7 +306,7 @@ def c7_scope_decisions(spark, sf_dir):
         "host string, crawl_delay_s int, disallow_prefixes array<string>",
     )
     return apply_scope(cand, seed_domains, robots, CrawlConfig()).select(
-        "doc_id", "url_canon", "hop", "in_scope"
+        "doc_id", "url_canon", "hop", "trans_hops", "in_scope"
     )
 
 

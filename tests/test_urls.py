@@ -103,3 +103,32 @@ def test_registered_domain():
     # platform hosts stay per-host (common.smk:23-29 semantics)
     assert registered_domain("myblog.blogspot.com") == "myblog.blogspot.com"
     assert registered_domain("site.wordpress.com") == "site.wordpress.com"
+
+
+def test_psl_full_matcher():
+    """tldextract-equivalent semantics over the vendored PSL rules
+    (common.smk:17-36): multi-level ccTLD registries, wildcard rules,
+    exception rules, private-section platforms, and bare-suffix hosts."""
+    from bitextor_spark.functions.urls import public_suffix
+
+    # multi-level ccTLD registries the 16-entry stub mis-grouped
+    assert registered_domain("shop.store.co.kr") == "store.co.kr"
+    assert registered_domain("www2.firma.com.tr") == "firma.com.tr"
+    assert registered_domain("portal.hacienda.gob.mx") == "hacienda.gob.mx"
+    assert registered_domain("x.y.escola.g12.br") == "escola.g12.br"
+    assert registered_domain("a.uni.ac.za") == "uni.ac.za"
+    assert registered_domain("svc.corp.com.cn") == "corp.com.cn"
+    # plain gTLD unchanged
+    assert registered_domain("deep.sub.example.org") == "example.org"
+    # wildcard rule *.ck: one extra label is part of the suffix
+    assert public_suffix("anything.ck") == "anything.ck"
+    assert registered_domain("shop.anything.ck") == "shop.anything.ck"
+    # exception rule !www.ck beats the wildcard
+    assert public_suffix("www.ck") == "ck"
+    assert registered_domain("www.ck") == "www.ck"
+    assert registered_domain("foo.www.ck") == "www.ck"
+    # host that IS a public suffix maps to itself
+    assert registered_domain("co.uk") == "co.uk"
+    # private-section platforms: each subdomain is its own site key
+    assert registered_domain("user.github.io") == "user.github.io"
+    assert registered_domain("deep.user.github.io") == "user.github.io"
