@@ -258,3 +258,237 @@ def f10_encoding_normalize(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("recovered_ok"), 1).otherwise(0)).alias("n_ok"),
     )
+
+
+# =========================================================================
+# S1/S2 — real WARC round trip: write per-partition .warc.gz shards from
+# the documents table, read them back through the binaryFile + mapInPandas
+# WARC source, and aggregate. The WARC content derives deterministically
+# from `documents`, so the DuckDB oracle computes the same aggregate from
+# the source table directly — a full-strength correctness gate for both
+# the writer and the parser (bitextor_wget.py:84-104 record semantics,
+# bitextor_warc2preprocess.py ArchiveIterator loop).
+# =========================================================================
+
+@q(
+    "warc_roundtrip_stats",
+    """
+    SELECT
+      CASE WHEN doc_id % 10 = 0 THEN 'application/pdf'
+           ELSE 'text/html' END AS content_type,
+      count(*) AS n_records,
+      CAST(sum(octet_length(encode('<html><body>' || text || '</body></html>')))
+           AS BIGINT) AS total_bytes,
+      CAST(count(DISTINCT doc_id % 37) AS BIGINT) AS n_hosts
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY content_type
+    """,
+)
+def warc_roundtrip_stats(spark, sf_dir):
+    import hashlib
+    import shutil
+    import tempfile
+    import os
+
+    from bitextor_spark.sources.warc import read_warc, write_warc_shards
+
+    docs = T(spark, sf_dir, "documents")
+    records = docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".warc.test/d"), F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.when(F.col("doc_id") % 17 == 0, 404).otherwise(200).alias("status"),
+        F.when(F.col("doc_id") % 10 == 0, "application/pdf")
+        .otherwise("text/html").alias("content_type"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"),
+                     F.lit("</body></html>")),
+            "utf-8",
+        ).alias("body"),
+    ).repartition(8, "doc_id")
+    # deterministic shard dir per sf_dir; rebuilt per run (cheap at test SF)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"warc_fixture_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_shards(records, out_dir)
+
+    parsed = read_warc(spark, out_dir)
+    return (
+        parsed.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .groupBy("content_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("payload_len").alias("total_bytes"),
+            F.countDistinct(
+                F.parse_url("target_uri", F.lit("HOST"))
+            ).alias("n_hosts"),
+        )
+    )
+
+
+# =========================================================================
+# F6 — HTML structure-string distance (docalign feature). The reference
+# reduces each HTML document to a string of tag initials and scores doc
+# pairs by edit-distance ratio (bitextor_structure_distance.py:29-99).
+# The synthetic corpus has no HTML, so the tag sequence derives
+# deterministically from the token stream (token length picks the wrapping
+# tag) on BOTH engines; the distance/ratio math is the reference's.
+# =========================================================================
+
+from bitextor_spark.queries import _sql_tokens as _toks_sql  # noqa: E402
+
+
+@q(
+    "f6_structure_distance",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             'hb' || array_to_string(
+               list_transform({_toks_sql('text')},
+                              t -> ['p','d','s'][strlen(t) % 3 + 1]), '')
+                  || 'bh' AS struct_str
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.struct_str, b.struct_str) AS INT) AS dist,
+           round(1.0 - levenshtein(a.struct_str, b.struct_str)
+                 / greatest(strlen(a.struct_str), strlen(b.struct_str)), 4)
+             AS structure_sim
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def f6_structure_distance(spark, sf_dir):
+    from bitextor_spark.functions.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    tag = F.transform(
+        tokens(F.col("text")),
+        lambda t: F.element_at(
+            F.array(F.lit("p"), F.lit("d"), F.lit("s")),
+            (F.length(t) % 3 + 1).cast("int"),
+        ),
+    )
+    s = docs.select(
+        "doc_id",
+        F.concat(F.lit("hb"), F.concat_ws("", tag), F.lit("bh")).alias("struct_str"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.struct_str"), F.col("b.struct_str"))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("dist"),
+            F.round(
+                1.0
+                - dist
+                / F.greatest(
+                    F.length("a.struct_str"), F.length("b.struct_str")
+                ),
+                4,
+            ).alias("structure_sim"),
+        )
+    )
+
+
+# =========================================================================
+# P7 — profile-based language ID (cld2-style re-expression). The reference
+# runs cld2/cld3 inside warc2preprocess (bitextor_warc2preprocess.py); the
+# mechanism is char-n-gram profile scoring. Here: per-language top-trigram
+# profiles (public linguistic frequency knowledge), score = how many of a
+# document's char trigrams appear in each profile, argmax wins (tie →
+# lexicographic). Pure JVM on the Spark side, identical VALUES-join in the
+# DuckDB oracle.
+# =========================================================================
+
+_LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her",
+           "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+           "all", "ons", "nce", "men", "ith", "ted", "ers", "pro", "thi",
+           "wit", "are", "ess", "not", "ive", "was", "ect", "rea", "com"),
+    "es": ("que", "ent", "con", "ado", "cio", "ion", "aci", "los", "del",
+           "las", "por", "una", "nte", "par", "est", "ara", "ndo", "era",
+           "res", "sta", "ien", "tra", "cia", "com", "des", "nci",
+           "aba", "oso", "ura", "ero"),
+    "fr": ("les", "ent", "des", "ion", "que", "ait", "tio", "ons", "eur",
+           "our", "ant", "sur", "par", "est", "men", "ais", "une", "our",
+           "ell", "dan", "pou", "con", "tre", "ous", "ans", "lle", "eme",
+           "com", "ire", "res", "ont", "tes"),
+    "de": ("der", "die", "und", "den", "ich", "ein", "sch", "che", "ver",
+           "gen", "ung", "das", "ber", "ten", "ter", "hen", "nde", "auf",
+           "ers", "ist", "ine", "nen", "mit", "des", "wer", "ach", "eit",
+           "ede", "ier", "end", "aus"),
+}
+
+
+def _langid_profile_sql() -> str:
+    values = ", ".join(
+        f"('{lang}', '{t}')"
+        for lang, tris in sorted(_LANG_TRIGRAMS.items())
+        for t in tris
+    )
+    return f"""
+    WITH prof(lang, tri) AS (VALUES {values}),
+    norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+      FROM documents),
+    tri AS (
+      SELECT doc_id, unnest([s[i:i+2] for i in
+                             generate_series(1, greatest(strlen(s)-2, 0))]) AS tri
+      FROM norm),
+    hits AS (
+      SELECT t.doc_id, p.lang, count(*) AS hits
+      FROM tri t JOIN prof p ON t.tri = p.tri
+      GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rnk
+      FROM hits)
+    SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS hits
+    FROM best WHERE rnk = 1
+    """
+
+
+@q("p7_langid_trigram", _langid_profile_sql())
+def p7_langid_trigram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    # substring with a dynamic start needs expr form
+    docs2 = docs.select("doc_id", s.alias("s"))
+    tri_df = docs2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(s)-2, 0)),"
+                " i -> substring(s, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    prof = docs.sparkSession.createDataFrame(
+        [
+            (lang, t)
+            for lang, tris in sorted(_LANG_TRIGRAMS.items())
+            for t in tris
+        ],
+        "lang string, tri string",
+    )
+    hits = (
+        tri_df.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "lang")
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    )

@@ -9,12 +9,19 @@ cluster)::
         --conf spark.sql.shuffle.partitions=<2-4x total cores> \
         --conf spark.sql.adaptive.enabled=true \
         jobs/crawl_job.py \
-        --catalog-root  s3://bucket/crawl-state \
+        --catalog-root  /mnt/shared/crawl-state \
         --images-table  /path/to/images.parquet \
         --pages-table   /path/to/pages.parquet \
         --robots-table  /path/to/robots.parquet \
         --seeds-table   /path/to/seeds.parquet \
         --max-epochs 50
+
+``--catalog-root`` must be a POSIX path on a filesystem shared by the
+driver and every executor (NFS/Lustre/FUSE mount): SnapshotCatalog manages
+its manifests with local file IO while Spark writes the parquet data files
+through the same path, so both sides must see one filesystem. Object-store
+URIs (s3://...) are rejected — swap SnapshotCatalog for real Iceberg
+tables (sources/snapshots.py docstring) before pointing state at S3.
 
 The session is taken from spark-submit (no master/conf override here);
 shuffle partitioning, AQE, and executor sizing are cluster-side flags.
@@ -62,6 +69,13 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if "://" in args.catalog_root and not args.catalog_root.startswith("file://"):
+        raise SystemExit(
+            "--catalog-root must be a driver+executor-shared POSIX path; "
+            f"got URI {args.catalog_root!r}. SnapshotCatalog manifests use "
+            "local file IO — use the Iceberg swap (sources/snapshots.py) "
+            "for object-store state."
+        )
 
     from pyspark.sql import SparkSession
 
