@@ -28,7 +28,9 @@ def tfidf_vectors(
     max_df: int = 1000,
 ) -> DataFrame:
     """(doc, token, weight) with L2-normalized tf-idf weights."""
-    n_docs = docs.count()
+    # N rides as a broadcast 1-row aggregate inside the one plan — no
+    # separate count() action per invocation
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     tf = (
         docs.select("doc", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("doc", "token")
@@ -36,9 +38,14 @@ def tfidf_vectors(
     )
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     pruned = df_counts.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
-    weighted = tf.join(pruned, "token").withColumn(
-        "w",
-        F.log(F.col("tf") + 1.0) * F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)),
+    weighted = (
+        tf.join(pruned, "token")
+        .join(F.broadcast(n_df))
+        .withColumn(
+            "w",
+            F.log(F.col("tf") + 1.0) * F.log(F.col("_n") / (F.col("df") + 1.0)),
+        )
+        .drop("_n")
     )
     norm = Window.partitionBy("doc")
     return weighted.withColumn(
