@@ -53,3 +53,14 @@ def normalized_text(col: Column) -> Column:
     lowered = F.lower(col)
     stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def xml_escape(col: Column) -> Column:
+    """F17: XML 1.0 predefined-entity escaping, & first (the reference's
+    xml.sax.saxutils.escape + quote handling in bitextor_build_TMX.py).
+    Replacement ORDER is the semantics — mirrored verbatim in oracle SQL."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    for raw, ent in (("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&apos;")):
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out

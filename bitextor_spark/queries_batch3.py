@@ -492,3 +492,68 @@ def p7_langid_trigram(spark, sf_dir):
         .filter(F.col("rnk") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
     )
+
+
+# =========================================================================
+# S7/F17 — TMX <tu> serialization with XML escaping. The reference builds
+# one TMX from aligned pairs (bitextor_build_TMX.py:197-344) with
+# xml.sax.saxutils escaping; here the <tu> string is pure JVM expression
+# work (functions/text.xml_escape + concat) and the DuckDB oracle applies
+# the identical replacement chain. A constant suffix carrying every
+# escapable character makes the escape do real work on both engines.
+# =========================================================================
+
+_ESC_PROBE = " A&B <tag> \"q\" 's'"
+
+
+def _sql_xml_escape(expr: str) -> str:
+    out = expr
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&apos;")):
+        raw_sql = raw.replace("'", "''")
+        ent_sql = ent.replace("'", "''")
+        out = f"replace({out}, '{raw_sql}', '{ent_sql}')"
+    return out
+
+
+# SQL-side twin of the probed source text (built outside the f-string:
+# f-string expressions cannot carry backslash escapes)
+_SRC_PROBED = "src_text || ' A&B <tag> " + '"q"' + " ''s'''"
+_SRC_ESC = _sql_xml_escape(_SRC_PROBED)
+_TRG_ESC = _sql_xml_escape("trg_text")
+
+
+@q(
+    "s7_tmx_format",
+    f"""
+    WITH p AS (
+      SELECT a.doc_id AS tuid, a.text AS src_text,
+             b.lang AS trg_lang, b.text AS trg_text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+    SELECT tuid,
+           '  <tu tuid="' || tuid || '"><tuv xml:lang="en"><seg>'
+           || {_SRC_ESC}
+           || '</seg></tuv><tuv xml:lang="' || trg_lang || '"><seg>'
+           || {_TRG_ESC}
+           || '</seg></tuv></tu>' AS tu
+    FROM p
+    """,
+)
+def s7_tmx_format(spark, sf_dir):
+    from bitextor_spark.sources.tmx import tu_xml
+
+    docs = T(spark, sf_dir, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("tuid"),
+        F.concat(F.col("a.text"), F.lit(_ESC_PROBE)).alias("src_text"),
+        F.col("b.lang").alias("trg_lang"),
+        F.col("b.text").alias("trg_text"),
+    )
+    return pairs.select(
+        "tuid",
+        tu_xml(
+            F.col("tuid"), "en", F.col("src_text"), F.col("trg_lang"),
+            F.col("trg_text"),
+        ).alias("tu"),
+    )
