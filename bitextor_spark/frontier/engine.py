@@ -338,7 +338,8 @@ class FrontierEngine:
         epoch = int(meta["epoch"])
         # label the epoch's jobs: the per-epoch Spark-job count (fixed cost,
         # the scaling-efficiency driver) is then measurable by bench
-        self.spark.sparkContext.setJobGroup(f"epoch-{epoch}", "crawl epoch")
+        job_group = f"epoch-{id(self):x}-{epoch}"
+        self.spark.sparkContext.setJobGroup(job_group, "crawl epoch")
         seq_offset = int(meta["seq_offset"])
         total_fetched = int(meta["total_fetched"])
         epoch_start = epoch * cfg.epoch_window_ms
@@ -694,16 +695,18 @@ class FrontierEngine:
             )
         )
         mark('metrics_dag')
-        # the per-host metrics table is tiny: collect ONCE — it carries every
-        # counter the epoch needs (attempts, fetched, failed, admitted), so
-        # no other count/collect job runs this epoch
-        metric_schema = metrics.schema
-        m_rows = metrics.collect()
-        n_new = sum(r["queued"] for r in m_rows)
-        n_fetched = sum(r["fetched"] for r in m_rows)
-        n_failed = sum(r["failed"] for r in m_rows)
-        n_attempts = n_fetched + sum(r["errors"] for r in m_rows)
-        metrics_local = self.spark.createDataFrame(m_rows, metric_schema)
+        # per-host metrics stay a WRITE-ONLY distributed sink (at 10^8 hosts
+        # a driver collect is an OOM); the epoch counters come from ONE
+        # single-row aggregate collect
+        metrics = self._pin(metrics)
+        tot = metrics.agg(
+            F.sum("queued").alias("q"), F.sum("fetched").alias("f"),
+            F.sum("failed").alias("fl"), F.sum("errors").alias("e"),
+        ).collect()[0]
+        n_new = int(tot["q"] or 0)
+        n_fetched = int(tot["f"] or 0)
+        n_failed = int(tot["fl"] or 0)
+        n_attempts = n_fetched + int(tot["e"] or 0)
 
         mark('metrics_collect')
         # --- commit ---
@@ -722,7 +725,7 @@ class FrontierEngine:
         queued_remaining = int(prev_queued) - n_terminal + n_new
         self.catalog.commit(
             replace=replace,
-            append={"fetch_log": fetch_log, "metrics": metrics_local},
+            append={"fetch_log": fetch_log, "metrics": metrics},
             meta={
                 "epoch": epoch + 1,
                 "seq_offset": seq_offset + n_attempts,
@@ -738,7 +741,7 @@ class FrontierEngine:
         tracker = self.spark.sparkContext.statusTracker()
         try:
             self.last_timings['n_jobs'] = len(
-                tracker.getJobIdsForGroup(f"epoch-{epoch}")
+                tracker.getJobIdsForGroup(job_group)
             )
         except Exception:
             pass

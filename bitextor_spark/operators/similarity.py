@@ -109,34 +109,23 @@ def bucketed_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int,
     )
 
 
-def rademacher_weights(
-    n_tables: int, n_bits: int, n_dims: int, seed: int = 101
-) -> list[list[list[float]]]:
-    """Deterministic ±1 hyperplane weights for multi-table sign LSH.
+def lsh_table_bucket(vec: Column, table: int, n_bits: int) -> Column:
+    """Bucket int for LSH table `table`: bit b set iff
+    vec[table·n_bits + b] > 0 — coordinate sign hyperplanes.
 
-    Rademacher projections approximate Gaussian random hyperplanes
-    (P[sign differs] = θ/π per bit) while staying exactly representable in
-    both Spark literals and DuckDB list literals — so the oracle can mirror
-    the candidate predicate bit-for-bit."""
-    import random
-
-    rng = random.Random(seed)
-    return [
-        [[float(rng.choice((-1, 1))) for _ in range(n_dims)]
-         for _ in range(n_bits)]
-        for _ in range(n_tables)
-    ]
-
-
-def lsh_table_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket int for one LSH table: bit b set iff vec · planes[b] > 0.
-
-    The dot product is the same sequential aggregate fold used for the
-    cosine rescore, so DuckDB's list_dot_product reproduces the sign."""
+    Each table reads a DISJOINT dim slice, so tables are independent.
+    For isotropic embeddings a coordinate hyperplane behaves like a random
+    one (P[sign differs] = θ/π per bit); unlike projection expressions it
+    is a single element_at per bit — cheap inside whole-stage codegen, and
+    trivially mirrored by the SQL oracle (embedding[d] > 0). For strongly
+    axis-correlated embeddings, pre-rotate the vectors once at ingest (a
+    fixed random rotation) rather than paying a per-row projection."""
     total = F.lit(0)
-    for b, w in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(x) for x in w]))
-        total = total + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(n_bits):
+        d = table * n_bits + b
+        total = total + F.when(
+            F.element_at(vec, d + 1).cast("double") > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
     return total.cast("int")
 
 
@@ -146,9 +135,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float,
     n_tables: int = 4,
-    n_bits: int = 8,
-    n_dims: int = 64,
-    weight_seed: int = 101,
+    n_bits: int = 12,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold over LSH candidates.
 
@@ -163,13 +150,12 @@ def embedding_neardup_pairs(
     cosine 0.9 with the defaults, degrading for far pairs — the documented
     LSH trade. The oracle mirrors the same candidate predicate, so the
     result set is deterministic and engine-comparable."""
-    weights = rademacher_weights(n_tables, n_bits, n_dims, weight_seed)
     base = _spread(df).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("vn"),
         *[
-            lsh_table_bucket(F.col(vec_col), weights[t]).alias(f"b{t}")
+            lsh_table_bucket(F.col(vec_col), t, n_bits).alias(f"b{t}")
             for t in range(n_tables)
         ],
     )

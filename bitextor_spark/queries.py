@@ -383,23 +383,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _lsh_neardup_sql(
-    threshold: float, n_tables: int = 4, n_bits: int = 8, n_dims: int = 64
+    threshold: float, n_tables: int = 4, n_bits: int = 12
 ) -> str:
     """Oracle for the LSH-bucketed near-dup: the DuckDB side computes the
-    SAME per-table sign buckets (identical ±1 weight literals, identical
-    dot-product fold) and applies the same candidate predicate — buckets
-    within hamming ≤ 1 in any table — before the exact cosine threshold.
-    All-pairs is fine for the oracle (runs at sf0.01); the Spark plan is the
-    probe/bucket equi-join."""
-    weights = S.rademacher_weights(n_tables, n_bits, n_dims)
+    SAME per-table coordinate-sign buckets (table t reads dim slice
+    [t·n_bits, (t+1)·n_bits)) and applies the same candidate predicate —
+    buckets within hamming ≤ 1 in any table — before the exact cosine
+    threshold. All-pairs is fine for the oracle (runs at sf0.01); the
+    Spark plan is the probe/bucket equi-join."""
 
     def bucket_sql(side: str, t: int) -> str:
         bits = " + ".join(
-            "(CASE WHEN list_dot_product({s}.embedding::DOUBLE[], "
-            "[{w}]::DOUBLE[]) > 0 THEN {v} ELSE 0 END)".format(
-                s=side,
-                w=", ".join(str(x) for x in weights[t][b]),
-                v=1 << b,
+            "(CASE WHEN {s}.embedding[{d}]::DOUBLE > 0 "
+            "THEN {v} ELSE 0 END)".format(
+                s=side, d=t * n_bits + b + 1, v=1 << b,
             )
             for b in range(n_bits)
         )
