@@ -238,3 +238,78 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,  # (qid, qvec)
+    corpus: DataFrame,  # (cid, cvec)
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into centroid lists, probe
+    the n_probe nearest lists per query, exact-rescore candidates.
+
+    Centroids are the n_centroids lowest-id corpus vectors — deterministic
+    (k-means would converge further but needs iterative driver control;
+    the INDEX SHAPE, which is what matters at scale, is identical). Every
+    join is broadcast (centroid table, n_centroids rows) or equi on
+    centroid id; the full corpus is scanned exactly once for assignment
+    and once per probe hit — never an all-pairs product. At 100 TB the
+    assignment is a narrow map over a broadcast table and candidates
+    shuffle by centroid id, the classic IVF layout."""
+    cent = (
+        corpus.orderBy("cid")
+        .limit(n_centroids)
+        .select(F.col("cid").alias("cent_id"), F.col("cvec").alias("cent_vec"))
+    )
+    cn = cent.withColumn(
+        "cent_norm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec")))
+    )
+
+    def nearest(side: DataFrame, id_col: str, vec_col: str, top: int,
+                out: str) -> DataFrame:
+        scored = side.join(F.broadcast(cn)).select(
+            id_col,
+            vec_col,
+            "cent_id",
+            (
+                dot(F.col(vec_col), F.col("cent_vec"))
+                / (
+                    F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+                    * F.col("cent_norm")
+                )
+            ).alias("_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top)
+            .select(id_col, vec_col, F.col("cent_id").alias(out))
+        )
+
+    assigned = nearest(_spread(corpus), "cid", "cvec", 1, "list_id")
+    probes = nearest(queries, "qid", "qvec", n_probe, "probe_id")
+    cand = probes.join(
+        assigned, probes.probe_id == assigned.list_id
+    ).select("qid", "qvec", "cid", "cvec")
+    scored = cand.select(
+        "qid",
+        "cid",
+        F.round(
+            dot(F.col("qvec"), F.col("cvec"))
+            / (
+                F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+                * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+            ),
+            4,
+        ).alias("cos"),
+    ).dropDuplicates(["qid", "cid"])
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )

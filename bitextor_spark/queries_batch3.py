@@ -557,3 +557,73 @@ def s7_tmx_format(spark, sf_dir):
             F.col("trg_text"),
         ).alias("tu"),
     )
+
+
+# =========================================================================
+# ANN — IVF-flat variant (the charter's "IVF or LSH-bucketed" scale path;
+# we ship both). Deterministic coarse centroids (lowest-id corpus
+# vectors), nearest-list assignment, n_probe lists per query, exact
+# rescore. operators/similarity.py::ivf_cosine_topk.
+# =========================================================================
+
+_IVF_COS = (
+    "(list_dot_product({a}.embedding::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+)
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT cid, list_id FROM (
+        SELECT c.vec_id AS cid, ct.cent_id AS list_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_IVF_COS.format(a='c', b='ct.cent_vec')} DESC,
+                          ct.cent_id) AS r
+        FROM embeddings c CROSS JOIN cent ct WHERE c.vec_id >= 10)
+      WHERE r = 1),
+    probe AS (
+      SELECT qid, probe_id FROM (
+        SELECT q.vec_id AS qid, ct.cent_id AS probe_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS.format(a='q', b='ct.cent_vec')} DESC,
+                          ct.cent_id) AS r
+        FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 10)
+      WHERE r <= 2),
+    cand AS (
+      SELECT DISTINCT p.qid, a.cid FROM probe p
+      JOIN assign a ON a.list_id = p.probe_id),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+               AS cos
+      FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                JOIN embeddings c ON c.vec_id = cand.cid)
+    SELECT qid, cid, cos, rank FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    from bitextor_spark.operators.similarity import ivf_cosine_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return ivf_cosine_topk(queries, corpus, k=5, n_centroids=16, n_probe=2)

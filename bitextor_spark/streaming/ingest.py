@@ -55,3 +55,61 @@ def streaming_fetch_metrics(
             F.col("w.start").alias("window_start"), "host", "fetched", "errors"
         )
     )
+
+
+def streaming_politeness_gate(
+    fetch_requests: DataFrame,  # streaming: (host, url_canon, req_ts, fetch_ms, crawl_delay_s)
+    cfg=None,
+):
+    """Custom stateful operator (``applyInPandasWithState``): a per-host
+    politeness gate over a continuous fetch-request stream.
+
+    State per host = the virtual next-allowed timestamp (ms), carried
+    ACROSS micro-batches — the streaming twin of the batch engine's
+    host_state table. Each micro-batch walks its host group in
+    (req_ts, url_canon) order with the batch scheduler's exact snooze rule
+    (config.effective_delay_ms: clamp(delay_factor x duration) raised to
+    the robots Crawl-delay): requests whose slot fits emit FETCH with the
+    scheduled start; requests arriving before the host is allowed emit
+    DEFER. Nothing here is wall-clock: the stream's own event time drives
+    the virtual clock, so replays are deterministic.
+    """
+    import pandas as pd
+
+    from bitextor_spark.config import CrawlConfig
+
+    cfg = cfg or CrawlConfig()
+
+    def gate(key, pdfs, state):
+        (host,) = key
+        next_allowed = state.get[0] if state.exists else 0
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["req_ts", "url_canon"])
+        for _, r in batch.iterrows():
+            req_ms = int(r["req_ts"].timestamp() * 1000)
+            if req_ms >= next_allowed:
+                start = req_ms
+                delay = cfg.effective_delay_ms(
+                    int(r["fetch_ms"]), int(r["crawl_delay_s"])
+                )
+                next_allowed = start + int(r["fetch_ms"]) + delay
+                rows.append((host, r["url_canon"], "FETCH", start))
+            else:
+                rows.append((host, r["url_canon"], "DEFER", next_allowed))
+        state.update((next_allowed,))
+        yield pd.DataFrame(
+            rows, columns=["host", "url_canon", "decision", "scheduled_ms"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return fetch_requests.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=(
+            "host string, url_canon string, decision string, scheduled_ms long"
+        ),
+        stateStructType="next_allowed_ms long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

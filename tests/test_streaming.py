@@ -84,3 +84,60 @@ def test_streaming_fetch_metrics_windows(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_politeness_gate_state_across_batches(spark):
+    """applyInPandasWithState politeness gate: per-host next-allowed state
+    survives micro-batch boundaries (maxFilesPerTrigger=1 forces two
+    batches), FETCH advances the virtual cursor by the snooze rule, DEFER
+    fires for requests inside the politeness window."""
+    from bitextor_spark.config import CrawlConfig
+    from bitextor_spark.streaming.ingest import streaming_politeness_gate
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        schema = ("host string, url_canon string, req_ts timestamp, "
+                  "fetch_ms int, crawl_delay_s int")
+        # batch 1: first request fetches at t=0ms; cursor advances to
+        # 1000 + max(clamp(5*1000=5000),0) = 6000ms
+        import datetime as dt
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+        spark.createDataFrame(
+            [("h1", "http://h1/a", ts(0), 1000, 0)],
+            schema,
+        ).write.parquet(src + "/b1")
+        # batch 2: t=2s is inside the window -> DEFER; t=10s -> FETCH
+        spark.createDataFrame(
+            [("h1", "http://h1/b", ts(2), 1000, 0),
+             ("h1", "http://h1/c", ts(10), 1000, 0)],
+            schema,
+        ).write.parquet(src + "/b2")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        out = streaming_politeness_gate(stream, CrawlConfig())
+        name = "gate_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        rows = {r.url_canon: (r.decision, r.scheduled_ms)
+                for r in spark.sql(f"select * from {name}").collect()}
+        q.stop()
+        base = rows["http://h1/a"][1]  # epoch ms of 2024-01-01T00:00:00
+        assert rows["http://h1/a"][0] == "FETCH"
+        # b arrives 2s later — still inside the 6s snooze -> DEFER at cursor
+        assert rows["http://h1/b"] == ("DEFER", base + 6000)
+        # c arrives 10s later — past the cursor -> FETCH at its own ts
+        assert rows["http://h1/c"] == ("FETCH", base + 10_000)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
