@@ -970,8 +970,7 @@ def w4_converge_match(spark, sf_dir):
     return M.mutually_best_converge(pairs)
 
 
-@q("crawl_wave")
-def crawl_wave(spark, sf_dir):
+def _crawl_wave_impl(spark, cfg_kwargs):
     """Two fetch epochs of the frontier engine over a deterministic
     synthetic world (the engine's own oracle is the simulator in pytest;
     here the driver checks stable schema + rows)."""
@@ -983,7 +982,8 @@ def crawl_wave(spark, sf_dir):
     from bitextor_spark.frontier.world import small_world, world_to_dfs
 
     world = small_world(WorldConfig(n_hosts=4, n_pages=60))
-    cfg = CrawlConfig(max_epochs=2, max_retries=1, num_host_shards=4)
+    cfg = CrawlConfig(max_epochs=2, max_retries=1, num_host_shards=4,
+                      **cfg_kwargs)
     dfs = world_to_dfs(spark, world)
     root = tempfile.mkdtemp(prefix="crawl_wave_")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -1005,6 +1005,22 @@ def crawl_wave(spark, sf_dir):
         rows,
         "seq long, epoch int, url_canon string, host string, hop int, "
         "fetch_start_ms long, status int, outcome string",
+    )
+
+
+@q("crawl_wave")
+def crawl_wave(spark, sf_dir):
+    """Engine waves under the default wget-BFS queue order (C3)."""
+    return _crawl_wave_impl(spark, {})
+
+
+@q("crawl_wave_priority")
+def crawl_wave_priority(spark, sf_dir):
+    """Engine waves under the OPIC-style priority queue + precedence floor
+    (C10); exact-order parity vs the simulator lives in
+    tests/test_frontier_parity.py::test_priority_queue_parity."""
+    return _crawl_wave_impl(
+        spark, {"queue_order": "priority", "priority_floor": 1e-6}
     )
 
 

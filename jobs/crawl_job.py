@@ -60,6 +60,11 @@ def parse_args(argv):
     p.add_argument("--num-host-shards", type=int, default=32)
     p.add_argument("--replenish-per-epoch", type=int, default=3000)
     p.add_argument("--epoch-window-ms", type=int, default=600_000)
+    p.add_argument("--queue-order", choices=("bfs", "priority"),
+                   default="bfs",
+                   help="per-host queue precedence: wget-BFS (C3) or "
+                   "OPIC-style priority with precedence floor (C10)")
+    p.add_argument("--priority-floor", type=float, default=0.0)
     p.add_argument("--verify-payloads", action="store_true",
                    help="decode+verify image bytes per fetch wave (M4 gate)")
     p.add_argument("--no-bloom", action="store_true",
@@ -90,6 +95,8 @@ def main(argv=None) -> int:
         num_host_shards=args.num_host_shards,
         replenish_per_epoch=args.replenish_per_epoch,
         epoch_window_ms=args.epoch_window_ms,
+        queue_order=args.queue_order,
+        priority_floor=args.priority_floor,
     )
 
     images = None
