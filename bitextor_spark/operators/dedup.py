@@ -160,23 +160,22 @@ def _pigeonhole_blocks(bits: int, max_dist: int) -> list[tuple[int, int]]:
     return blocks
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 4
+def hamming_pairs(
+    hashed: DataFrame,  # (doc, sh) — any 64-bit-or-less integer fingerprint
+    bits: int,
+    max_dist: int,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance ≤ max_dist.
-
-    Candidate generation is the bit-block pigeonhole equi-join (exact — no
-    recall loss): explode each signature into max_dist+1 (block_idx,
-    block_value) keys, self-join on the key, Hamming-filter, dedupe pairs
-    found via several agreeing blocks. Shuffle keys are 8-byte (blk,val)
-    ints; no cross join forms at any scale. Block entropy (bits/(d+1)) sets
-    the pruning power — production near-dup uses 64-bit hashes with d ≤ 4
-    (≥ 12-bit blocks)."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh")
-    )
+    """Pairs within hamming ≤ max_dist by the bit-block pigeonhole
+    equi-join (exact — no recall loss): explode each fingerprint into
+    max_dist+1 (block_idx, block_value) keys, self-join on the key,
+    Hamming-filter, dedupe pairs found via several agreeing blocks.
+    Shuffle keys are 8-byte (blk,val) ints; no cross join forms at any
+    scale. Block entropy (bits/(d+1)) sets the pruning power — production
+    near-dup uses 64-bit hashes with d ≤ 4 (≥ 12-bit blocks; Manku et al.,
+    WWW'07). Works for any integer fingerprint column: simhash over text,
+    perceptual phash over images (input_hint phash:int64), etc."""
     blocks = _pigeonhole_blocks(bits, max_dist)
-    bands = sh.select(
+    bands = hashed.select(
         "doc",
         "sh",
         F.explode(
@@ -210,6 +209,17 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_dist)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 4
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_dist (text front
+    end over :func:`hamming_pairs`)."""
+    sh = _spread(df).select(
+        F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh")
+    )
+    return hamming_pairs(sh, bits, max_dist)
 
 
 def ngram_jaccard_pairs(

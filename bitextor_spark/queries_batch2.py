@@ -759,3 +759,24 @@ def img_resize_grid(spark, sf_dir):
     return imgs.mapInPandas(
         resize, "image_id string, out_w int, out_h int, digest string"
     )
+
+
+@q("img_phash_neardup")
+def img_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate mining over the image table — the
+    input_hint phash:int64 column through the same bit-block pigeonhole
+    equi-join as text simhash (operators/dedup.hamming_pairs, 64 bits /
+    d=3 → four 16-bit blocks, the classic web-dedup layout). Rows-only:
+    the phash derives from the synthesized pixels (functions/images.py),
+    which DuckDB cannot reproduce; the codec itself is pixel-oracled in
+    tests/test_images.py."""
+    from bitextor_spark.operators.dedup import hamming_pairs
+
+    imgs = _image_table(spark, n=192).select(
+        F.col("image_id").alias("doc"), F.col("phash").alias("sh")
+    )
+    return (
+        hamming_pairs(imgs, bits=64, max_dist=3)
+        .withColumnRenamed("doc_a", "img_a")
+        .withColumnRenamed("doc_b", "img_b")
+    )
