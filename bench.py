@@ -51,6 +51,11 @@ HEADLINE = [
     "events_sessionize",
     "word_freq",
     "inverted_index",
+    "ann_ivf_topk",
+    "warc_roundtrip_stats",
+    "f6_structure_distance",
+    "p7_langid_trigram",
+    "img_phash_neardup",
 ]
 
 
