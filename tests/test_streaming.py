@@ -109,13 +109,23 @@ def test_streaming_politeness_gate_state_across_batches(spark):
         spark.createDataFrame(
             [("h1", "http://h1/a", ts(0), 1000, 0)],
             schema,
-        ).write.parquet(src + "/b1")
+        ).coalesce(1).write.parquet(src + "/b1")
         # batch 2: t=2s is inside the window -> DEFER; t=10s -> FETCH
         spark.createDataFrame(
             [("h1", "http://h1/b", ts(2), 1000, 0),
              ("h1", "http://h1/c", ts(10), 1000, 0)],
             schema,
-        ).write.parquet(src + "/b2")
+        ).coalesce(1).write.parquet(src + "/b2")
+
+        # the file source orders micro-batches by file mtime; same-second
+        # writes tie and flip batch order — pin distinct mtimes explicitly
+        import glob as _glob
+        import os as _os
+
+        for age, d in ((200, "/b1"), (100, "/b2")):
+            for f in _glob.glob(src + d + "/*.parquet"):
+                t = _os.path.getmtime(f) - age
+                _os.utime(f, (t, t))
 
         stream = (
             spark.readStream.schema(schema)
