@@ -286,9 +286,10 @@ def write_report(result: dict) -> None:
             f"parallel snapshot writes) carries its relative efficiency.",
             "",
             "Fixed cost per epoch is bounded by design: the engine runs a "
-            "constant ~15 Spark jobs per epoch regardless of data volume "
-            "(4 pinned intermediates, 1 metrics collect, 5 parallel commit "
-            "writes + bloom update + scans), measured per-epoch above.",
+            "constant Spark-job count per epoch regardless of data volume "
+            "(pinned intermediates, one single-row counter collect, "
+            "parallel commit writes + bloom update) — see the jobs/epoch "
+            "column, measured via per-epoch job groups.",
             "",
         ]
     if "dedup" in result:
