@@ -237,39 +237,16 @@ class FrontierEngine:
     def _with_global_seq(
         self, events: DataFrame, n_events: int, seq_offset: int
     ) -> DataFrame:
-        """Exact global sequence by (fetch_start_ms, host, url_canon).
+        """Exact 0-based global sequence by (fetch_start_ms, host,
+        url_canon) via the shared scale-safe ranking (plans/ordering.py:
+        range-repartition → local rank → cumulative offsets; plain window
+        only below the inspection-scale threshold)."""
+        from bitextor_spark.plans.ordering import global_row_number
 
-        Small epochs: one single-partition window. Large epochs: range-
-        repartition on the (unique) sort key, rank locally, add cumulative
-        partition offsets — the scalable exact total order (no single-task
-        sort at 10^10 scale)."""
         keys = [F.col("fetch_start_ms"), F.col("host"), F.col("url_canon")]
-        if n_events < 50_000:
-            w = Window.orderBy(*keys)
-            return events.withColumn(
-                "seq", F.row_number().over(w) - 1 + seq_offset
-            )
-        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        ranged = events.repartitionByRange(nparts, *keys).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        ranged = ranged.localCheckpoint()  # pin partitioning for both passes
-        counts = {
-            r["_pid"]: r["count"]
-            for r in ranged.groupBy("_pid").count().collect()
-        }
-        offsets, acc = {}, seq_offset
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        off_df = self.spark.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
-        )
-        w_local = Window.partitionBy("_pid").orderBy(*keys)
-        return (
-            ranged.join(F.broadcast(off_df), "_pid")
-            .withColumn("seq", F.row_number().over(w_local) - 1 + F.col("_off"))
-            .drop("_pid", "_off")
+        return global_row_number(
+            events, keys, seq_col="seq", offset=seq_offset - 1,
+            small_threshold=50_000, n_rows=n_events,
         )
 
     def _verify_payloads(self, events: DataFrame) -> DataFrame:
