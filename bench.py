@@ -32,10 +32,9 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
 HEADLINE = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "w1_topk_per_group",
     "o1_multikey_sort",
+    "o4_range_batching",
     "dedup_exact_first",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -43,8 +42,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "text_quality",
-    "text_fingerprint",
+    "text_analysis",
     "tfidf_similarity",
     "t1_jaccard_overlap",
     "events_windowed_agg",
@@ -56,6 +54,7 @@ HEADLINE = [
     "f6_structure_distance",
     "p7_langid_trigram",
     "img_phash_neardup",
+    "img_pipeline",
 ]
 
 
@@ -70,7 +69,7 @@ def run_headline(spark) -> dict[str, float]:
 
     # one untimed warm-up: session/scan/codegen warmup otherwise leaks into
     # the first measured query (q1 measured 3x its steady-state in r1)
-    _materialize(QUERIES["q5_region_revenue"](spark, SF_DIR))
+    _materialize(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     out = {}
     for name in HEADLINE:
         t0 = time.time()

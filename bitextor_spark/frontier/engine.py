@@ -246,7 +246,7 @@ class FrontierEngine:
         keys = [F.col("fetch_start_ms"), F.col("host"), F.col("url_canon")]
         return global_row_number(
             events, keys, seq_col="seq", offset=seq_offset - 1,
-            small_threshold=50_000, n_rows=n_events,
+            small_threshold=50_000, n_rows=n_events, pin=self._pin,
         )
 
     def _verify_payloads(self, events: DataFrame) -> DataFrame:
@@ -290,6 +290,13 @@ class FrontierEngine:
     def _load(self, name: str) -> DataFrame:
         df = self.catalog.read(self.spark, name)
         assert df is not None, f"missing state table {name}"
+        if name == "frontier":
+            # forward migration: snapshots committed before the trans_hops/
+            # priority columns existed resume with the schema defaults
+            if "trans_hops" not in df.columns:
+                df = df.withColumn("trans_hops", F.lit(0).cast("int"))
+            if "priority" not in df.columns:
+                df = df.withColumn("priority", F.lit(1.0))
         return df
 
     def meta(self) -> dict[str, Any]:
@@ -366,10 +373,14 @@ class FrontierEngine:
                 F.coalesce("page_fetch_ms", F.lit(cfg.default_fetch_ms)),
             )
             .drop("page_status", "page_fetch_ms")
-            .join(F.broadcast(self.robots.select("host", "crawl_delay_s")),
-                  "host", "left")
+            # per-host state joins carry NO broadcast hint: at bench scale
+            # AQE broadcasts them (exact runtime stats, 64 MB gate); at the
+            # 10^8-host north-star they become shuffle joins on host — the
+            # same key the politeness groupBy below clusters on, so the
+            # exchange is reused, never a multi-GB driver broadcast.
+            .join(self.robots.select("host", "crawl_delay_s"), "host", "left")
             .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0)))
-            .join(F.broadcast(host_state), "host", "left")
+            .join(host_state, "host", "left")
             .withColumn("next_allowed_ms",
                         F.coalesce("next_allowed_ms", F.lit(0)))
         )
@@ -463,9 +474,12 @@ class FrontierEngine:
             F.col("fetch_start_ms").alias("_start"),
         )
         frontier_updated = (
-            # broadcast: updates ≤ hosts × k_cap rows, frontier is the big
-            # side and must not shuffle every epoch
-            frontier.join(F.broadcast(updates), "url_hash", "left")
+            # updates ≤ active-hosts × k_cap rows and is pinned, so AQE has
+            # exact stats: below the 64 MB gate it broadcasts (the frontier,
+            # the big side, never shuffles); above it this adaptively becomes
+            # a shuffle join on url_hash — no unconditional driver broadcast
+            # of a per-attempt table at the 10^10-URL north-star.
+            frontier.join(updates, "url_hash", "left")
             .select(
                 "url_hash", "url_canon", "host", "hop", "seed_id",
                 F.when(F.col("_outcome") == "FETCHED", "FETCHED")

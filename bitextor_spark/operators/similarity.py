@@ -269,17 +269,16 @@ def ivf_cosine_topk(
 
     def nearest(side: DataFrame, id_col: str, vec_col: str, top: int,
                 out: str) -> DataFrame:
+        raw_sim = dot(F.col(vec_col), F.col("cent_vec")) / (
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.col("cent_norm")
+        )
+        # zero-norm guard: 0/0 is NaN/NULL and Spark vs DuckDB rank those
+        # differently — pin such rows to -1.0 so both engines agree
         scored = side.join(F.broadcast(cn)).select(
             id_col,
             vec_col,
             "cent_id",
-            (
-                dot(F.col(vec_col), F.col("cent_vec"))
-                / (
-                    F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-                    * F.col("cent_norm")
-                )
-            ).alias("_sim"),
+            F.coalesce(F.nanvl(raw_sim, F.lit(-1.0)), F.lit(-1.0)).alias("_sim"),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("_sim").desc(), F.col("cent_id")
@@ -295,16 +294,15 @@ def ivf_cosine_topk(
     cand = probes.join(
         assigned, probes.probe_id == assigned.list_id
     ).select("qid", "qvec", "cid", "cvec")
+    raw_cos = dot(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
     scored = cand.select(
         "qid",
         "cid",
         F.round(
-            dot(F.col("qvec"), F.col("cvec"))
-            / (
-                F.sqrt(dot(F.col("qvec"), F.col("qvec")))
-                * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
-            ),
-            4,
+            F.coalesce(F.nanvl(raw_cos, F.lit(-1.0)), F.lit(-1.0)), 4
         ).alias("cos"),
     ).dropDuplicates(["qid", "cid"])
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))

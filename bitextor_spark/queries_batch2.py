@@ -379,42 +379,9 @@ def j4_dict_overlap(spark, sf_dir):
     )
 
 
-# =========================================================================
-# F15 — lang-code normalization via broadcast lookup
-# =========================================================================
-
-_LANG_MAP = [
-    ("en", "eng", "English"), ("de", "deu", "German"), ("fr", "fra", "French"),
-    ("es", "spa", "Spanish"), ("zh", "zho", "Chinese"), ("pt", "por", "Portuguese"),
-]
-_LANG_SQL = "(VALUES " + ", ".join(
-    f"('{a}', '{b}', '{c}')" for a, b, c in _LANG_MAP
-) + ") lm(lang, iso3, lang_name)"
-
-
-@q(
-    "f15_lang_normalize",
-    f"""
-    SELECT coalesce(lm.iso3, 'und') AS iso3,
-           coalesce(lm.lang_name, 'Undetermined') AS lang_name,
-           count(*) AS n_docs
-    FROM documents d LEFT JOIN {_LANG_SQL} ON d.lang = lm.lang
-    GROUP BY 1, 2
-    """,
-)
-def f15_lang_normalize(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
-    lm = spark.createDataFrame(_LANG_MAP, "lang string, iso3 string, lang_name string")
-    return (
-        docs.join(F.broadcast(lm), "lang", "left")
-        .select(
-            F.coalesce("iso3", F.lit("und")).alias("iso3"),
-            F.coalesce("lang_name", F.lit("Undetermined")).alias("lang_name"),
-        )
-        .groupBy("iso3", "lang_name")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
+# (F15 lang-code normalization folded into s5_prevertical_parse in
+# queries_batch3 — the reference runs them as ONE operator,
+# bitextor_prevertical_lang_iso639_1.py: parse + ISO-639 lookup.)
 
 # =========================================================================
 # S8/A6 — corpus stats sink
@@ -566,7 +533,10 @@ def o4_range_batching(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     keys = [F.col("n_chars").desc(), F.col("doc_id")]
     return (
-        global_ntile(docs, keys, 8, tile_col="batch")
+        # count-gated: plain ntile window at inspection scale, range-
+        # partitioned exact ntile on the 10^10-row path
+        global_ntile(docs, keys, 8, tile_col="batch",
+                     small_threshold=500_000, n_rows=docs.count())
         .groupBy("batch")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -683,15 +653,22 @@ def _image_table(spark, n=_N_IMG):
     )
 
 
-@q("img_decode_features")
-def img_decode_features(spark, sf_dir):
-    """Decode binary image column in Arrow batches; extract features
-    (mean channel values, recomputed phash match); aggregate per fmt."""
-    from bitextor_spark.functions.images import decode_image, phash64
+@q("img_pipeline")
+def img_pipeline(spark, sf_dir):
+    """The image training-data pipeline in one Arrow-batched mapInPandas
+    pass: decode the binary column → per-channel mean features → phash
+    recompute check → 16×16 nearest-neighbor resize → PNG re-encode +
+    content digest; aggregated per fmt (formerly img_decode_features +
+    img_resize_grid — one pass, one driver row). Rows-only: byte decoding
+    is not DuckDB-expressible; the codecs are pixel-oracled in
+    tests/test_images.py."""
+    import hashlib
+
+    from bitextor_spark.functions.images import decode_image, phash64, png_encode
 
     imgs = _image_table(spark)
 
-    def feats(batches):
+    def stage(batches):
         for pdf in batches:
             out = []
             for iid, blob, fmt, ph in zip(
@@ -699,48 +676,6 @@ def img_decode_features(spark, sf_dir):
             ):
                 px = decode_image(bytes(blob))
                 means = px.reshape(-1, 3).mean(axis=0)
-                out.append(
-                    {
-                        "image_id": iid,
-                        "fmt": fmt,
-                        "mean_r": float(means[0]),
-                        "mean_g": float(means[1]),
-                        "mean_b": float(means[2]),
-                        "phash_match": bool(phash64(px) == ph) if fmt == "png" else None,
-                    }
-                )
-            yield pd.DataFrame(out)
-
-    f = imgs.mapInPandas(
-        feats,
-        "image_id string, fmt string, mean_r double, mean_g double, "
-        "mean_b double, phash_match boolean",
-    )
-    return f.groupBy("fmt").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("mean_r"), 2).alias("avg_r"),
-        F.round(F.avg("mean_g"), 2).alias("avg_g"),
-        F.round(F.avg("mean_b"), 2).alias("avg_b"),
-        F.sum(F.when(F.col("phash_match"), 1).otherwise(0)).alias("n_phash_ok"),
-    )
-
-
-@q("img_resize_grid")
-def img_resize_grid(spark, sf_dir):
-    """Resize every image to 16×16 (nearest neighbor) inside mapInPandas,
-    re-encode as PNG, return id + new dims + content digest — the standard
-    thumbnail/normalize stage of an image training pipeline."""
-    import hashlib
-
-    from bitextor_spark.functions.images import decode_image, png_encode
-
-    imgs = _image_table(spark)
-
-    def resize(batches):
-        for pdf in batches:
-            out = []
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                px = decode_image(bytes(blob))
                 h, w, _ = px.shape
                 yi = (np.arange(16) * h // 16).astype(int)
                 xi = (np.arange(16) * w // 16).astype(int)
@@ -749,34 +684,103 @@ def img_resize_grid(spark, sf_dir):
                 out.append(
                     {
                         "image_id": iid,
-                        "out_w": 16,
-                        "out_h": 16,
+                        "fmt": fmt,
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "phash_match": bool(phash64(px) == ph) if fmt == "png" else None,
                         "digest": hashlib.md5(enc).hexdigest(),
                     }
                 )
             yield pd.DataFrame(out)
 
-    return imgs.mapInPandas(
-        resize, "image_id string, out_w int, out_h int, digest string"
+    f = imgs.mapInPandas(
+        stage,
+        "image_id string, fmt string, mean_r double, mean_g double, "
+        "mean_b double, phash_match boolean, digest string",
+    )
+    return f.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mean_r"), 2).alias("avg_r"),
+        F.round(F.avg("mean_g"), 2).alias("avg_g"),
+        F.round(F.avg("mean_b"), 2).alias("avg_b"),
+        F.sum(F.when(F.col("phash_match"), 1).otherwise(0)).alias("n_phash_ok"),
+        F.countDistinct("digest").alias("n_thumbs"),
     )
 
 
-@q("img_phash_neardup")
+_N_PHASH_IMGS = 192
+
+
+def _phash_pairs_oracle() -> str:
+    """DuckDB twin for img_phash_neardup: the expected phash of every
+    synthesized image is computed HERE with the same pure-Python generator
+    the pytest pixel-oracle uses (functions/images.make_image_row — fully
+    determined by image_id, no wall clock/randomness) and embedded as
+    literals; the oracle then mines pairs with the identical bit-block
+    pigeonhole + hamming filter. The Spark side recomputes each phash FROM
+    THE DECODED BYTES, so a codec or miner regression on either side breaks
+    the hash match. `(sh >> off) & mask` keeps original bits [off, off+w)
+    regardless of sign, matching Spark's shiftrightunsigned+mask."""
+    from bitextor_spark.functions.images import (
+        decode_image,
+        make_image_row,
+        phash64,
+    )
+    from bitextor_spark.operators.dedup import _pigeonhole_blocks
+
+    def expected_phash(i: int) -> int:
+        # phash of the DECODED pixels (what the Spark side recomputes):
+        # for the lossy fmt this differs from the stored pre-encode phash
+        return phash64(decode_image(make_image_row("img-%04d" % i)["bytes"]))
+
+    vals = ", ".join(
+        "('img-%04d', %d)" % (i, expected_phash(i))
+        for i in range(_N_PHASH_IMGS)
+    )
+    blocks = " UNION ALL ".join(
+        f"SELECT img, sh, {i} AS blk, (sh >> {off}) & {(1 << w) - 1} AS val FROM ph"
+        for i, (off, w) in enumerate(_pigeonhole_blocks(64, 3))
+    )
+    return f"""
+    WITH ph(img, sh) AS (VALUES {vals}),
+    blocks AS ({blocks})
+    SELECT DISTINCT a.img AS img_a, b.img AS img_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.val = b.val AND a.img < b.img
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+@q("img_phash_neardup", _phash_pairs_oracle())
 def img_phash_neardup(spark, sf_dir):
     """Perceptual-hash near-duplicate mining over the image table — the
-    input_hint phash:int64 column through the same bit-block pigeonhole
-    equi-join as text simhash (operators/dedup.hamming_pairs, 64 bits /
-    d=3 → four 16-bit blocks, the classic web-dedup layout). Rows-only:
-    the phash derives from the synthesized pixels (functions/images.py),
-    which DuckDB cannot reproduce; the codec itself is pixel-oracled in
-    tests/test_images.py."""
+    input_hint phash:int64 through the same bit-block pigeonhole equi-join
+    as text simhash (operators/dedup.hamming_pairs, 64 bits / d=3 → four
+    16-bit blocks, the classic web-dedup layout). The phash is RECOMPUTED
+    from the decoded image bytes in Arrow batches (not read from the
+    column), so the driver's oracle comparison gates the full decode →
+    phash → pair-mining path against the pure-Python literals."""
+    from bitextor_spark.functions.images import decode_image, phash64
     from bitextor_spark.operators.dedup import hamming_pairs
 
-    imgs = _image_table(spark, n=192).select(
-        F.col("image_id").alias("doc"), F.col("phash").alias("sh")
-    )
+    imgs = _image_table(spark, n=_N_PHASH_IMGS)
+
+    def rehash(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["image_id"],
+                    "sh": [
+                        phash64(decode_image(bytes(b))) for b in pdf["bytes"]
+                    ],
+                }
+            )
+
+    hashed = imgs.mapInPandas(rehash, "doc string, sh long")
     return (
-        hamming_pairs(imgs, bits=64, max_dist=3)
+        hamming_pairs(hashed, bits=64, max_dist=3)
         .withColumnRenamed("doc_a", "img_a")
         .withColumnRenamed("doc_b", "img_b")
     )

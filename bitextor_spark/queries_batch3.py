@@ -31,20 +31,38 @@ _PREVERT_SQL = (
     " || '\">' || text || '</doc>'"
 )
 
+# F15 ISO-639 normalization map (bitextor_prevertical_lang_iso639_1.py:25-53
+# runs parse + lookup as ONE operator, so the query mirrors that)
+_LANG_MAP = [
+    ("en", "eng", "English"), ("de", "deu", "German"), ("fr", "fra", "French"),
+    ("es", "spa", "Spanish"), ("zh", "zho", "Chinese"), ("pt", "por", "Portuguese"),
+]
+_LANG_SQL = "(VALUES " + ", ".join(
+    f"('{a}', '{b}', '{c}')" for a, b, c in _LANG_MAP
+) + ") lm(lang, iso3, lang_name)"
+
 
 @q(
     "s5_prevertical_parse",
     f"""
-    WITH p AS (SELECT doc_id, {_PREVERT_SQL} AS line FROM documents)
-    SELECT doc_id,
-           regexp_extract(line, 'id="([^"]+)"', 1) AS prevert_id,
-           lower(regexp_extract(line, 'lang="([^"]+)"', 1)) AS lang_norm,
-           regexp_extract(line, 'url="([^"]+)"', 1) AS url,
-           len(regexp_extract(line, '>([^<]*)</doc>', 1)) AS body_len
-    FROM p
+    WITH p AS (SELECT doc_id, {_PREVERT_SQL} AS line FROM documents),
+    x AS (
+      SELECT doc_id,
+             regexp_extract(line, 'id="([^"]+)"', 1) AS prevert_id,
+             lower(regexp_extract(line, 'lang="([^"]+)"', 1)) AS lang_norm,
+             regexp_extract(line, 'url="([^"]+)"', 1) AS url,
+             len(regexp_extract(line, '>([^<]*)</doc>', 1)) AS body_len
+      FROM p)
+    SELECT x.doc_id, x.prevert_id, x.lang_norm, x.url, x.body_len,
+           coalesce(lm.iso3, 'und') AS iso3,
+           coalesce(lm.lang_name, 'Undetermined') AS lang_name
+    FROM x LEFT JOIN {_LANG_SQL} ON x.lang_norm = lm.lang
     """,
 )
 def s5_prevertical_parse(spark, sf_dir):
+    """S5 prevertical parse + F15 ISO-639 lang normalization (one operator
+    in the reference): regex attribute extraction, lowercase lang_norm,
+    then the broadcast lookup to ISO-639-3 + display name."""
     docs = T(spark, sf_dir, "documents")
     line = F.concat(
         F.lit('<doc id="d'), F.col("doc_id").cast("string"),
@@ -55,13 +73,21 @@ def s5_prevertical_parse(spark, sf_dir):
         F.lit('">'), F.col("text"), F.lit("</doc>"),
     )
     p = docs.select("doc_id", line.alias("line"))
-    return p.select(
+    x = p.select(
         "doc_id",
         F.regexp_extract("line", r'id="([^"]+)"', 1).alias("prevert_id"),
         F.lower(F.regexp_extract("line", r'lang="([^"]+)"', 1)).alias("lang_norm"),
         F.regexp_extract("line", r'url="([^"]+)"', 1).alias("url"),
         F.length(F.regexp_extract("line", r">([^<]*)</doc>", 1)).cast("bigint")
         .alias("body_len"),
+    )
+    lm = spark.createDataFrame(
+        _LANG_MAP, "lang_norm string, iso3 string, lang_name string"
+    )
+    return x.join(F.broadcast(lm), "lang_norm", "left").select(
+        "doc_id", "prevert_id", "lang_norm", "url", "body_len",
+        F.coalesce("iso3", F.lit("und")).alias("iso3"),
+        F.coalesce("lang_name", F.lit("Undetermined")).alias("lang_name"),
     )
 
 

@@ -52,7 +52,7 @@ def build_response_record(
         f"HTTP/1.1 {status} {reason}{_CRLF}"
         f"Content-Type: {content_type}{_CRLF}"
         f"Content-Length: {len(body)}{_CRLF}{_CRLF}"
-    ).encode("ascii") + body
+    ).encode("utf-8") + body
     head = (
         f"WARC/1.0{_CRLF}"
         f"WARC-Type: response{_CRLF}"
@@ -61,7 +61,7 @@ def build_response_record(
         f"WARC-Target-URI: {target_uri}{_CRLF}"
         f"Content-Type: application/http; msgtype=response{_CRLF}"
         f"Content-Length: {len(http)}{_CRLF}{_CRLF}"
-    ).encode("ascii")
+    ).encode("utf-8")  # UTF-8 (warcio-style): URIs may carry raw unicode paths
     return head + http + (_CRLF + _CRLF).encode("ascii")
 
 
@@ -69,7 +69,7 @@ def build_request_record(record_id: str, target_uri: str) -> bytes:
     req = (
         f"GET / HTTP/1.1{_CRLF}Host: fixture{_CRLF}{_CRLF}"
     ).encode("ascii")
-    head = (
+    head = (  # UTF-8: target_uri may carry raw unicode path characters
         f"WARC/1.0{_CRLF}"
         f"WARC-Type: request{_CRLF}"
         f"WARC-Record-ID: <urn:uuid:{record_id}-req>{_CRLF}"
@@ -77,7 +77,7 @@ def build_request_record(record_id: str, target_uri: str) -> bytes:
         f"WARC-Target-URI: {target_uri}{_CRLF}"
         f"Content-Type: application/http; msgtype=request{_CRLF}"
         f"Content-Length: {len(req)}{_CRLF}{_CRLF}"
-    ).encode("ascii")
+    ).encode("utf-8")
     return head + req + (_CRLF + _CRLF).encode("ascii")
 
 
@@ -145,7 +145,10 @@ def parse_warc_bytes(data: bytes) -> Iterable[dict]:
                 break
             k, _, v = h.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return  # malformed framing — stop like the other guards
         payload = buf.read(length)
         if len(payload) < length or not headers.get("warc-type"):
             return  # truncated tail — yield only fully-framed records
