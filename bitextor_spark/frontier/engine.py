@@ -287,16 +287,34 @@ class FrontierEngine:
             verify, "url_hash long, bytes_ok boolean, caption_ok boolean"
         )
 
+    # explicit read schemas: every schema-less spark.read.parquet costs a
+    # footer-inference job — a per-epoch fixed cost (the epoch reads 5+
+    # state tables) that never parallelizes with cores
+    _TABLE_SCHEMAS = {
+        "frontier": FRONTIER_SCHEMA,
+        "host_state": HOST_STATE_SCHEMA,
+        "seed_domains": "reg_domain string",
+        "blooms": seen_mod.BLOOM_SCHEMA,
+        "fetch_log": EVENT_SCHEMA + ", epoch int",
+        "metrics": (
+            "epoch int, host string, fetched bigint, errors bigint, "
+            "failed bigint, skipped_seen bigint, skipped_scope bigint, "
+            "queued bigint"
+        ),
+    }
+
     def _load(self, name: str) -> DataFrame:
-        df = self.catalog.read(self.spark, name)
+        df = self.catalog.read(
+            self.spark, name, schema=self._TABLE_SCHEMAS.get(name)
+        )
         assert df is not None, f"missing state table {name}"
         if name == "frontier":
             # forward migration: snapshots committed before the trans_hops/
-            # priority columns existed resume with the schema defaults
-            if "trans_hops" not in df.columns:
-                df = df.withColumn("trans_hops", F.lit(0).cast("int"))
-            if "priority" not in df.columns:
-                df = df.withColumn("priority", F.lit(1.0))
+            # priority columns existed read them as NULL under the explicit
+            # schema — resume with the schema defaults
+            df = df.withColumn(
+                "trans_hops", F.coalesce("trans_hops", F.lit(0)).cast("int")
+            ).withColumn("priority", F.coalesce("priority", F.lit(1.0)))
         return df
 
     def meta(self) -> dict[str, Any]:
@@ -435,22 +453,33 @@ class FrontierEngine:
                 }
             )
 
-        # eager materialization: every downstream consumer (fetch_log,
-        # host_state, frontier transitions, discovery, metrics) reads the
-        # walk output exactly once from storage
-        events = self._pin(cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA))
+        # eager materialization: every downstream consumer (host_state,
+        # frontier transitions, discovery, metrics) reads the walk output
+        # exactly once from storage. The materialization IS the fetch_log
+        # delta write (Iceberg staging: data files land before the manifest
+        # publish; a crash orphans them harmlessly) — one job does double
+        # duty, and the commit phase later only records the path.
+        raw_events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA)
+        events_path = self.catalog.stage_path("fetch_log", kind="append")
+        raw_events.withColumn("epoch", F.lit(epoch)).write.mode(
+            "overwrite"
+        ).parquet(events_path)
+        events = self.spark.read.schema(
+            EVENT_SCHEMA + ", epoch int"
+        ).parquet(events_path).drop("epoch")
 
         mark('plan_candidates')
-        # fetch_log stores events only; the exact global sequence is DERIVED
-        # at read time from the total order (epoch, fetch_start_ms, host,
-        # url_canon) — materializing it per epoch costs jobs, stores nothing
-        # the sort key doesn't already encode.
-        fetch_log = events.drop("new_next_allowed").withColumn(
-            "epoch", F.lit(epoch)
-        )
+        # fetch_log stores events only (incl. the politeness cursor as
+        # lineage); the exact global sequence is DERIVED at read time from
+        # the total order (epoch, fetch_start_ms, host, url_canon) —
+        # materializing it per epoch costs jobs, stores nothing the sort
+        # key doesn't already encode.
+        fetch_log_extra = None
         if self.verify_payloads:
-            fetch_log = fetch_log.join(
-                self._verify_payloads(events), "url_hash", "left"
+            # verification results append as a side table keyed by url_hash
+            # + epoch; fetch_log() joins them at read time
+            fetch_log_extra = self._verify_payloads(events).withColumn(
+                "epoch", F.lit(epoch)
             )
         # --- host_state update ---
         new_cursor = events.groupBy("host").agg(
@@ -604,32 +633,39 @@ class FrontierEngine:
             )
             .withColumn("url_hash", F.xxhash64("url_canon"))
         )
-        grouped = self._pin(grouped)
-        # every duplicate discovery of a URL shares the URL's host, so the
-        # per-host dupe counter is derivable without ranking individual rows
-        wave_dupes = grouped.groupBy("host").agg(
-            F.sum(F.col("n_disc") - 1).alias("dupe_seen")
-        )
-        unique_cands = grouped.drop("n_disc")
-
         # --- seen check: bloom prefilter + exact anti-join on the residue ---
+        # The bloom flag pass and the wave-dedup groupBy materialize as ONE
+        # pinned intermediate (the flag is a cogrouped map over the grouped
+        # output — fusing them saves a job barrier per epoch); n_disc rides
+        # along for the per-host dupe counter.
         if self.use_bloom:
             blooms = self._load("blooms")
-            flagged = seen_mod.flag_maybe_seen(
-                unique_cands, blooms, cfg.num_host_shards,
-                cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+            grouped = self._pin(
+                seen_mod.flag_maybe_seen(
+                    grouped, blooms, cfg.num_host_shards,
+                    cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+                )
             )
-            flagged = self._pin(flagged)
-            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            definitely_new = grouped.filter(~F.col("maybe_seen")).drop(
+                "maybe_seen", "n_disc"
+            )
+            maybe = grouped.filter(F.col("maybe_seen")).drop(
+                "maybe_seen", "n_disc"
+            )
             really_new = maybe.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
             )
             admitted = definitely_new.unionByName(really_new)
         else:
-            admitted = unique_cands.join(
+            grouped = self._pin(grouped)
+            admitted = grouped.drop("n_disc").join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
             )
+        # every duplicate discovery of a URL shares the URL's host, so the
+        # per-host dupe counter is derivable without ranking individual rows
+        wave_dupes = grouped.groupBy("host").agg(
+            F.sum(F.col("n_disc") - 1).alias("dupe_seen")
+        )
 
         new_rows = admitted.select(
             "url_hash", "url_canon", "host", "hop", "seed_id",
@@ -687,13 +723,22 @@ class FrontierEngine:
         )
         mark('metrics_dag')
         # per-host metrics stay a WRITE-ONLY distributed sink (at 10^8 hosts
-        # a driver collect is an OOM); the epoch counters come from ONE
-        # single-row aggregate collect
-        metrics = self._pin(metrics)
-        tot = metrics.agg(
+        # a driver collect is an OOM). The epoch counters piggyback on the
+        # metrics delta write via observe(): the write job that stages the
+        # delta ALSO aggregates the four scalars — no separate metrics pin,
+        # no single-row collect job.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        metrics = metrics.observe(
+            obs,
             F.sum("queued").alias("q"), F.sum("fetched").alias("f"),
             F.sum("failed").alias("fl"), F.sum("errors").alias("e"),
-        ).collect()[0]
+        )
+        metrics.write.mode("overwrite").parquet(
+            self.catalog.stage_path("metrics", kind="append")
+        )
+        tot = obs.get
         n_new = int(tot["q"] or 0)
         n_fetched = int(tot["f"] or 0)
         n_failed = int(tot["fl"] or 0)
@@ -714,9 +759,13 @@ class FrontierEngine:
         if prev_queued is None:
             prev_queued = frontier.filter(F.col("state") == "QUEUED").count()
         queued_remaining = int(prev_queued) - n_terminal + n_new
+        append = {}
+        if fetch_log_extra is not None:
+            append["fetch_verify"] = fetch_log_extra
         self.catalog.commit(
             replace=replace,
-            append={"fetch_log": fetch_log, "metrics": metrics},
+            append=append or None,
+            pre_written={"fetch_log": "append", "metrics": "append"},
             meta={
                 "epoch": epoch + 1,
                 "seq_offset": seq_offset + n_attempts,
@@ -762,8 +811,16 @@ class FrontierEngine:
         """Fetch log with the exact global sequence derived from the total
         order (epoch, fetch_start_ms, host, url_canon). Inspection-scale
         reads use one window; bulk exports should use
-        ``_with_global_seq``-style range ranking instead."""
-        df = self._load("fetch_log")
+        ``_with_global_seq``-style range ranking instead. Payload
+        verification results (when enabled) live in the fetch_verify side
+        table and join back here by (url_hash, epoch)."""
+        df = self._load("fetch_log").drop("new_next_allowed")
+        verify = self.catalog.read(
+            self.spark, "fetch_verify",
+            schema="url_hash long, bytes_ok boolean, caption_ok boolean, epoch int",
+        )
+        if verify is not None:
+            df = df.join(verify, ["url_hash", "epoch"], "left")
         w = Window.orderBy("epoch", "fetch_start_ms", "host", "url_canon")
         return df.withColumn("seq", F.row_number().over(w) - 1).orderBy("seq")
 

@@ -65,15 +65,33 @@ class SnapshotCatalog:
 
     # -- commit --------------------------------------------------------------
 
+    def stage_path(self, name: str, kind: str = "append") -> str:
+        """Absolute path where the NEXT commit's data for `name` belongs.
+
+        Iceberg staging model: a caller may write data files here *before*
+        committing (e.g. to fuse the write with the computation that
+        materializes an epoch intermediate) and then pass the name via
+        ``commit(pre_written=...)``. A crash before the manifest publish
+        leaves only orphan files that no manifest references.
+        """
+        prev = self.load_manifest()
+        snap_id = (prev["snapshot_id"] + 1) if prev else 0
+        label = "snap" if kind == "replace" else "delta"
+        return os.path.join(self.data_dir, f"{name}/{label}-{snap_id:06d}")
+
     def commit(
         self,
         replace: dict[str, DataFrame] | None = None,
         append: dict[str, DataFrame] | None = None,
         meta: dict[str, Any] | None = None,
+        pre_written: dict[str, str] | None = None,
     ) -> int:
         """Write data files, then atomically publish the manifest.
 
         Tables not mentioned carry forward from the previous manifest.
+        ``pre_written`` maps table name -> kind ("replace"/"append") for
+        tables whose data files were already staged at ``stage_path`` —
+        the commit only records them in the manifest (no write job).
         """
         prev = self.load_manifest()
         snap_id = (prev["snapshot_id"] + 1) if prev else 0
@@ -104,6 +122,12 @@ class SnapshotCatalog:
             for job in jobs:
                 write(job)
 
+        label = {"replace": "snap", "append": "delta"}
+        for name, kind in (pre_written or {}).items():
+            jobs.append(
+                (kind, name, f"{name}/{label[kind]}-{snap_id:06d}", None)
+            )
+
         for kind, name, rel, _df in jobs:
             if kind == "replace":
                 tables[name] = {"kind": "replace", "paths": [rel]}
@@ -130,8 +154,16 @@ class SnapshotCatalog:
     # -- read ----------------------------------------------------------------
 
     def read(
-        self, spark: SparkSession, name: str, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        schema: str | None = None,
     ) -> DataFrame | None:
+        """Read a table at a snapshot. Pass `schema` (DDL string) when the
+        caller knows it: schema inference otherwise costs one footer-read
+        Spark job per read — a fixed per-epoch cost that never parallelizes
+        (the engine reads 5+ state tables every epoch)."""
         manifest = self.load_manifest(snapshot_id)
         if manifest is None or name not in manifest["tables"]:
             return None
@@ -139,7 +171,8 @@ class SnapshotCatalog:
             os.path.join(self.data_dir, rel)
             for rel in manifest["tables"][name]["paths"]
         ]
-        return spark.read.parquet(*paths)
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(*paths)
 
     def history(self) -> list[dict[str, Any]]:
         out = []
