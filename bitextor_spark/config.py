@@ -111,6 +111,25 @@ class CrawlConfig:
     # default duration charged for URLs that resolve to nothing (404)
     default_fetch_ms: int = 100
 
+    # frontier storage: merge-on-read deltas (Iceberg MOR model). Each
+    # epoch appends only the changed+new rows (O(attempts+discoveries),
+    # never an O(frontier) rewrite — at the 10^10-URL north-star a full
+    # rewrite per epoch is the dominant cost). Compaction is ADAPTIVE:
+    # the base is rewritten once the pending delta log reaches
+    # compact_delta_ratio × frontier rows — at small scale (delta ≈
+    # frontier, e.g. local tests/benches) that is every epoch, so reads
+    # stay merge-free and the per-epoch fixed cost (delta pin + broadcast
+    # builds) is never paid; at web scale (delta ≪ frontier) compaction
+    # is rare and epochs stay O(changes). frontier_compact_epochs caps
+    # the interval regardless, bounding delta-file fan-out in the
+    # manifest.
+    compact_delta_ratio: float = 0.2
+    frontier_compact_epochs: int = 64
+    # MOR reads broadcast the delta key set into the base anti-join while
+    # the tracked delta row count stays under this gate (8 B hashes →
+    # ~32 MB at the default); past it the merge becomes a shuffle join
+    delta_broadcast_rows: int = 4_000_000
+
     # engine partitioning
     num_host_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20  # 128 KiB per shard

@@ -53,12 +53,13 @@ from bitextor_spark.sources.snapshots import SnapshotCatalog
 FRONTIER_SCHEMA = (
     "url_hash long, url_canon string, host string, hop int, seed_id int, "
     "state string, retry_count int, not_before_ms long, discovered_epoch int, "
-    "trans_hops int, priority double"
+    "trans_hops int, priority double, updated_epoch int"
 )
 EVENT_SCHEMA = (
     "url_hash long, url_canon string, host string, hop int, seed_id int, "
     "retry_count int, fetch_start_ms long, fetch_ms int, status int, "
-    "outcome string, new_next_allowed long, trans_hops int, priority double"
+    "outcome string, new_next_allowed long, trans_hops int, priority double, "
+    "not_before_ms long, discovered_epoch int"
 )
 HOST_STATE_SCHEMA = "host string, next_allowed_ms long"
 METRIC_COLS = ("fetched", "errors", "skipped_seen", "skipped_scope", "queued")
@@ -213,6 +214,7 @@ class FrontierEngine:
                 F.lit(0).alias("discovered_epoch"),
                 F.lit(0).alias("trans_hops"),
                 F.lit(1.0).alias("priority"),
+                F.lit(0).alias("updated_epoch"),
             )
         ).localCheckpoint()  # reused by host_state, blooms, commit, count
         host_state = frontier.select("host").distinct().withColumn(
@@ -231,7 +233,8 @@ class FrontierEngine:
         self.catalog.commit(
             replace=replace,
             meta={"epoch": 0, "total_fetched": 0, "seq_offset": 0,
-                  "queued": frontier.count(), "done": False},
+                  "queued": (n_seeds := frontier.count()),
+                  "frontier_rows": n_seeds, "done": False},
         )
 
     def _with_global_seq(
@@ -292,7 +295,9 @@ class FrontierEngine:
     # state tables) that never parallelizes with cores
     _TABLE_SCHEMAS = {
         "frontier": FRONTIER_SCHEMA,
+        "frontier_delta": FRONTIER_SCHEMA,
         "host_state": HOST_STATE_SCHEMA,
+        "host_state_delta": HOST_STATE_SCHEMA,
         "seed_domains": "reg_domain string",
         "blooms": seen_mod.BLOOM_SCHEMA,
         "fetch_log": EVENT_SCHEMA + ", epoch int",
@@ -312,14 +317,141 @@ class FrontierEngine:
             # forward migration: snapshots committed before the trans_hops/
             # priority columns existed read them as NULL under the explicit
             # schema — resume with the schema defaults
-            df = df.withColumn(
-                "trans_hops", F.coalesce("trans_hops", F.lit(0)).cast("int")
-            ).withColumn("priority", F.coalesce("priority", F.lit(1.0)))
+            df = (
+                df.withColumn(
+                    "trans_hops",
+                    F.coalesce("trans_hops", F.lit(0)).cast("int"),
+                )
+                .withColumn("priority", F.coalesce("priority", F.lit(1.0)))
+                .withColumn(
+                    "updated_epoch",
+                    F.coalesce("updated_epoch", F.lit(0)).cast("int"),
+                )
+            )
         return df
 
     def meta(self) -> dict[str, Any]:
         m = self.catalog.load_manifest()
         return m["meta"] if m else {}
+
+    # ------------------------------------------------------------------ #
+    # merge-on-read frontier views (Iceberg MOR model)                    #
+    #                                                                     #
+    # The frontier is stored as a compacted BASE (replace table) plus     #
+    # per-epoch DELTAS (append table) holding only changed+new rows       #
+    # stamped with updated_epoch. Nothing ever rewrites O(frontier) per   #
+    # epoch; reads resolve latest-wins. State transitions are monotone    #
+    # (QUEUED -> terminal, never back), which the views exploit:          #
+    #  - presence (the URL-seen anti-join) needs NO merge: any version    #
+    #    proves membership;                                               #
+    #  - the base is single-version by construction (compaction output),  #
+    #    so latest-wins only ever runs over the DELTA LOG — the big side  #
+    #    contributes one anti-join against the deltas' key set, which is  #
+    #    broadcast while the tracked delta row count stays under          #
+    #    cfg.delta_broadcast_rows (no AQE dependence), shuffle beyond;    #
+    #  - host politeness cursors only grow, so the host view is a plain   #
+    #    max() — a CRDT-style merge, no versioning needed.                #
+    # Every cfg.frontier_compact_epochs the base is rewritten and the     #
+    # deltas dropped, bounding read amplification.                        #
+    # ------------------------------------------------------------------ #
+
+    def _deltas(self, name: str) -> DataFrame | None:
+        return self.catalog.read(
+            self.spark, name, schema=self._TABLE_SCHEMAS[name]
+        )
+
+    @staticmethod
+    def _latest_wins(df: DataFrame) -> DataFrame:
+        """One row per url_hash: the version with the highest updated_epoch
+        (unique per url_hash by construction — a URL changes at most once
+        per epoch). groupBy, not a window: partial map-side aggregation."""
+        cols = [c for c in df.columns if c != "url_hash"]
+        return (
+            df.groupBy("url_hash")
+            .agg(F.max_by(F.struct(*cols), "updated_epoch").alias("_w"))
+            .select("url_hash", "_w.*")
+        )
+
+    def _delta_hint(self, df: DataFrame) -> DataFrame:
+        """Broadcast hint for delta-derived key sets, gated by the row
+        count the commits track in the manifest meta (reset at compaction)
+        — explicit, so it holds with AQE off; dropped past the gate so a
+        10^10-scale delta backlog becomes a shuffle join, never a
+        multi-GB driver broadcast."""
+        n = int(self.meta().get("delta_rows", 0))
+        if n <= self.cfg.delta_broadcast_rows:
+            return F.broadcast(df)
+        return df
+
+    def _delta_latest(self) -> DataFrame | None:
+        """Latest version per changed url_hash, or None when no delta log
+        exists. run_epoch pins this once (it is O(changes since last
+        compaction)) and threads it through every view below — it feeds
+        two branches of the candidate DAG plus the discovery anti-join and
+        the broadcast build, so recomputing it per consumer multiplies the
+        delta groupBy."""
+        deltas = self._deltas("frontier_delta")
+        return None if deltas is None else self._latest_wins(deltas)
+
+    def _merge_latest(self, base: DataFrame, latest: DataFrame) -> DataFrame:
+        """base (single-version) merged with the latest delta versions.
+        The wide groupBy already ran on the (small) delta side; the base
+        pays one anti-join against the broadcast-gated changed-key set."""
+        unchanged = base.join(
+            self._delta_hint(latest.select("url_hash")),
+            "url_hash", "left_anti",
+        )
+        return unchanged.unionByName(latest)
+
+    _AUTO = object()  # sentinel: compute _delta_latest() internally
+
+    def _frontier_view(self, latest: DataFrame | None = _AUTO) -> DataFrame:
+        if latest is FrontierEngine._AUTO:
+            latest = self._delta_latest()
+        base = self._load("frontier")
+        if latest is None:
+            return base
+        return self._merge_latest(base, latest)
+
+    def _queued_view(self, latest: DataFrame | None = _AUTO) -> DataFrame:
+        """Current QUEUED rows. The state filter pushes into the base scan;
+        changed URLs are represented solely by their latest delta version
+        (still-QUEUED retry bumps survive, terminal transitions drop out),
+        and a terminal-in-base URL never has a delta version (transitions
+        are monotone), so base QUEUED rows minus changed keys is exact."""
+        if latest is FrontierEngine._AUTO:
+            latest = self._delta_latest()
+        q = self._load("frontier").filter(F.col("state") == "QUEUED")
+        if latest is None:
+            return q
+        unchanged = q.join(
+            self._delta_hint(latest.select("url_hash")),
+            "url_hash", "left_anti",
+        )
+        return unchanged.unionByName(
+            latest.filter(F.col("state") == "QUEUED")
+        )
+
+    def _frontier_urls(self, latest: DataFrame | None = _AUTO) -> DataFrame:
+        """Every url_hash ever admitted (any version proves presence, so
+        the latest delta versions stand in for the whole delta log)."""
+        if latest is FrontierEngine._AUTO:
+            latest = self._delta_latest()
+        base = self._load("frontier").select("url_hash")
+        if latest is None:
+            return base
+        return base.unionByName(latest.select("url_hash"))
+
+    def _host_state_view(self) -> DataFrame:
+        base = self._load("host_state")
+        deltas = self._deltas("host_state_delta")
+        if deltas is None:
+            return base
+        return (
+            base.unionByName(deltas)
+            .groupBy("host")
+            .agg(F.max("next_allowed_ms").alias("next_allowed_ms"))
+        )
 
     # ------------------------------------------------------------------ #
     # one epoch                                                           #
@@ -347,13 +479,21 @@ class FrontierEngine:
         epoch_start = epoch * cfg.epoch_window_ms
         epoch_end = epoch_start + cfg.epoch_window_ms
 
-        frontier = self._load("frontier")
-        host_state = self._load("host_state")
+        host_state = self._host_state_view()
         seed_domains = self._load("seed_domains")
 
-        queued = frontier.filter(
-            (F.col("state") == "QUEUED") & (F.col("not_before_ms") < epoch_end)
-        )
+        # one materialization of the delta-latest table per epoch (pinned,
+        # O(changes since compaction)); every MOR view this epoch reads it
+        latest = self._delta_latest()
+        if latest is not None:
+            latest = self._pin(latest)
+
+        # not_before/priority filter AFTER the latest-wins merge: a retry
+        # bump raises not_before, and pre-filtering could drop the latest
+        # version while an older, earlier-scheduled one survives
+        queued = self._queued_view(latest).filter(
+            F.col("not_before_ms") < epoch_end
+        ).drop("updated_epoch")
         priority_mode = cfg.queue_order == "priority"
         if priority_mode:
             # precedence floor (C10): below-floor cash never schedules
@@ -433,7 +573,8 @@ class FrontierEngine:
                     columns=["url_hash", "url_canon", "host", "hop", "seed_id",
                              "retry_count", "fetch_start_ms", "fetch_ms",
                              "status", "outcome", "new_next_allowed",
-                             "trans_hops", "priority"]
+                             "trans_hops", "priority", "not_before_ms",
+                             "discovered_epoch"]
                 )
             return pd.DataFrame(
                 {
@@ -450,6 +591,11 @@ class FrontierEngine:
                     "new_next_allowed": cursor,
                     "trans_hops": pdf["trans_hops"].to_numpy()[picked],
                     "priority": pdf["priority"].to_numpy()[picked],
+                    # passthrough: the frontier-delta row for this attempt
+                    # is reconstructed from the event alone (MOR commit)
+                    "not_before_ms": pdf["not_before_ms"].to_numpy()[picked],
+                    "discovered_epoch":
+                        pdf["discovered_epoch"].to_numpy()[picked],
                 }
             )
 
@@ -481,53 +627,37 @@ class FrontierEngine:
             fetch_log_extra = self._verify_payloads(events).withColumn(
                 "epoch", F.lit(epoch)
             )
-        # --- host_state update ---
-        new_cursor = events.groupBy("host").agg(
-            F.max("new_next_allowed").alias("cursor")
-        )
-        host_state_new = (
-            host_state.join(new_cursor, "host", "full")
-            .select(
-                "host",
-                F.greatest(
-                    F.coalesce("next_allowed_ms", F.lit(0)),
-                    F.coalesce("cursor", F.lit(0)),
-                ).alias("next_allowed_ms"),
-            )
+        # --- host_state delta: this epoch's politeness cursors ---
+        # cursors only ever grow, so the delta is just the active hosts'
+        # new values; the view merges by max() (hosts without a row default
+        # to 0 through the left-join coalesce above). Never O(hosts)/epoch.
+        host_state_delta = events.groupBy("host").agg(
+            F.max("new_next_allowed").alias("next_allowed_ms")
         )
 
-        # --- frontier transitions for attempted entries ---
-        updates = events.select(
-            "url_hash",
-            F.col("outcome").alias("_outcome"),
-            F.col("fetch_start_ms").alias("_start"),
-        )
-        frontier_updated = (
-            # updates ≤ active-hosts × k_cap rows and is pinned, so AQE has
-            # exact stats: below the 64 MB gate it broadcasts (the frontier,
-            # the big side, never shuffles); above it this adaptively becomes
-            # a shuffle join on url_hash — no unconditional driver broadcast
-            # of a per-attempt table at the 10^10-URL north-star.
-            frontier.join(updates, "url_hash", "left")
-            .select(
-                "url_hash", "url_canon", "host", "hop", "seed_id",
-                F.when(F.col("_outcome") == "FETCHED", "FETCHED")
-                .when(F.col("_outcome") == "FAILED", "FAILED")
-                .otherwise(F.col("state"))
-                .alias("state"),
-                (
-                    F.col("retry_count")
-                    + F.when(F.col("_outcome") == "RETRY", 1).otherwise(0)
-                ).cast("int").alias("retry_count"),
-                F.when(
-                    F.col("_outcome") == "RETRY",
-                    F.col("_start") + cfg.retry_delay_ms,
-                ).otherwise(F.col("not_before_ms")).cast("long")
-                .alias("not_before_ms"),
-                "discovered_epoch",
-                "trans_hops",
-                "priority",
-            )
+        # --- frontier delta: attempted rows, reconstructed from events ---
+        # MOR: no join against the frontier at all — the event carries the
+        # full row (not_before/discovered_epoch passthrough), so the delta
+        # is O(attempts) and the big table never shuffles for the update.
+        frontier_changed = events.select(
+            "url_hash", "url_canon", "host", "hop", "seed_id",
+            F.when(F.col("outcome") == "FETCHED", "FETCHED")
+            .when(F.col("outcome") == "FAILED", "FAILED")
+            .otherwise(F.lit("QUEUED"))
+            .alias("state"),
+            (
+                F.col("retry_count")
+                + F.when(F.col("outcome") == "RETRY", 1).otherwise(0)
+            ).cast("int").alias("retry_count"),
+            F.when(
+                F.col("outcome") == "RETRY",
+                F.col("fetch_start_ms") + cfg.retry_delay_ms,
+            ).otherwise(F.col("not_before_ms")).cast("long")
+            .alias("not_before_ms"),
+            "discovered_epoch",
+            "trans_hops",
+            "priority",
+            F.lit(epoch + 1).alias("updated_epoch"),
         )
 
         mark('state_updates')
@@ -653,13 +783,13 @@ class FrontierEngine:
                 "maybe_seen", "n_disc"
             )
             really_new = maybe.join(
-                frontier.select("url_hash"), "url_hash", "left_anti"
+                self._frontier_urls(latest), "url_hash", "left_anti"
             )
             admitted = definitely_new.unionByName(really_new)
         else:
             grouped = self._pin(grouped)
             admitted = grouped.drop("n_disc").join(
-                frontier.select("url_hash"), "url_hash", "left_anti"
+                self._frontier_urls(latest), "url_hash", "left_anti"
             )
         # every duplicate discovery of a URL shares the URL's host, so the
         # per-host dupe counter is derivable without ranking individual rows
@@ -675,16 +805,10 @@ class FrontierEngine:
             F.lit(epoch + 1).alias("discovered_epoch"),
             "trans_hops",
             "priority",
+            F.lit(epoch + 1).alias("updated_epoch"),
         )
 
-        frontier_next = frontier_updated.unionByName(new_rows)
-        host_state_next = (
-            host_state_new.join(
-                new_rows.select("host").distinct(), "host", "full"
-            ).select(
-                "host", F.coalesce("next_allowed_ms", F.lit(0)).alias("next_allowed_ms")
-            )
-        )
+        frontier_delta_next = frontier_changed.unionByName(new_rows)
 
         # --- metrics (C17): per-host counters for this epoch ---
         ev_counts = events.groupBy("host").agg(
@@ -745,8 +869,45 @@ class FrontierEngine:
         n_attempts = n_fetched + int(tot["e"] or 0)
 
         mark('metrics_collect')
-        # --- commit ---
-        replace = {"frontier": frontier_next, "host_state": host_state_next}
+        # --- commit: MOR deltas, compaction every k epochs ---
+        replace: dict[str, DataFrame] = {}
+        append: dict[str, DataFrame] = {}
+        drop: list[str] = []
+        # adaptive compaction: rewrite the base once the pending delta log
+        # reaches compact_delta_ratio of the frontier (cheap at small
+        # scale where that is every epoch; rare at web scale), with
+        # frontier_compact_epochs as a hard interval cap
+        frontier_rows = int(
+            meta.get("frontier_rows", meta.get("queued", 0))
+        ) + n_new
+        pending = int(meta.get("delta_rows", 0)) + n_attempts + n_new
+        compact = (
+            pending >= cfg.compact_delta_ratio * max(frontier_rows, 1)
+            or (epoch + 1) % max(cfg.frontier_compact_epochs, 1) == 0
+        )
+        if compact:
+            # rewrite the base as the merged view (including this epoch's
+            # delta) and drop the delta logs — read amplification resets.
+            # `latest` (pinned above) already collapses the old delta log;
+            # this epoch's rows all carry a strictly higher updated_epoch,
+            # so one more latest-wins over the small union is exact.
+            all_d = frontier_delta_next
+            if latest is not None:
+                all_d = all_d.unionByName(latest)
+            replace["frontier"] = self._merge_latest(
+                self._load("frontier"), self._latest_wins(all_d)
+            )
+            old_h = self._deltas("host_state_delta")
+            all_h = self._load("host_state").unionByName(host_state_delta)
+            if old_h is not None:
+                all_h = all_h.unionByName(old_h)
+            replace["host_state"] = all_h.groupBy("host").agg(
+                F.max("next_allowed_ms").alias("next_allowed_ms")
+            )
+            drop = ["frontier_delta", "host_state_delta"]
+        else:
+            append["frontier_delta"] = frontier_delta_next
+            append["host_state_delta"] = host_state_delta
         if self.use_bloom and n_new > 0:
             replace["blooms"] = seen_mod.update_blooms(
                 self._load("blooms"), admitted.select("url_hash"),
@@ -757,20 +918,25 @@ class FrontierEngine:
         n_terminal = n_fetched + n_failed
         prev_queued = meta.get("queued")
         if prev_queued is None:
-            prev_queued = frontier.filter(F.col("state") == "QUEUED").count()
+            prev_queued = self._queued_view(latest).count()
         queued_remaining = int(prev_queued) - n_terminal + n_new
-        append = {}
         if fetch_log_extra is not None:
             append["fetch_verify"] = fetch_log_extra
         self.catalog.commit(
-            replace=replace,
+            replace=replace or None,
             append=append or None,
+            drop=drop or None,
             pre_written={"fetch_log": "append", "metrics": "append"},
             meta={
                 "epoch": epoch + 1,
                 "seq_offset": seq_offset + n_attempts,
                 "total_fetched": total_fetched + n_fetched,
                 "queued": queued_remaining,
+                "frontier_rows": frontier_rows,
+                # delta-log row count, maintained from this epoch's known
+                # scalars (attempts + admissions) — powers the _delta_hint
+                # broadcast gate without ever running a count() job
+                "delta_rows": 0 if compact else pending,
                 "done": queued_remaining == 0
                 or total_fetched + n_fetched >= cfg.max_fetches,
             },
@@ -825,7 +991,8 @@ class FrontierEngine:
         return df.withColumn("seq", F.row_number().over(w) - 1).orderBy("seq")
 
     def frontier(self) -> DataFrame:
-        return self._load("frontier")
+        """Current frontier (merged MOR view: base latest-wins deltas)."""
+        return self._frontier_view()
 
     def metrics(self) -> DataFrame:
         return self._load("metrics")

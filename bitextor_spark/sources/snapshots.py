@@ -85,6 +85,7 @@ class SnapshotCatalog:
         append: dict[str, DataFrame] | None = None,
         meta: dict[str, Any] | None = None,
         pre_written: dict[str, str] | None = None,
+        drop: list[str] | None = None,
     ) -> int:
         """Write data files, then atomically publish the manifest.
 
@@ -92,6 +93,8 @@ class SnapshotCatalog:
         ``pre_written`` maps table name -> kind ("replace"/"append") for
         tables whose data files were already staged at ``stage_path`` —
         the commit only records them in the manifest (no write job).
+        ``drop`` removes tables from the manifest (their data files become
+        unreferenced — e.g. delta logs folded into a compacted base).
         """
         prev = self.load_manifest()
         snap_id = (prev["snapshot_id"] + 1) if prev else 0
@@ -121,6 +124,9 @@ class SnapshotCatalog:
         else:
             for job in jobs:
                 write(job)
+
+        for name in drop or []:
+            tables.pop(name, None)
 
         label = {"replace": "snap", "append": "delta"}
         for name, kind in (pre_written or {}).items():

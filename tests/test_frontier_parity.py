@@ -214,6 +214,42 @@ def test_priority_queue_parity(spark, no_aqe):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_compaction_cadence_invariance(spark, world, sim, no_aqe):
+    """MOR frontier storage: the crawl is byte-identical whatever the
+    compaction cadence, including a resume that lands between two
+    compactions (the resumed engine reads base + delta logs)."""
+    import dataclasses
+
+    # ratio trigger off (it would compact every epoch at this scale and
+    # never leave a delta log standing): cadence-only compaction here
+    cfg_c = dataclasses.replace(
+        CFG, frontier_compact_epochs=2, compact_delta_ratio=float("inf")
+    )
+    dfs = world_to_dfs(spark, world)
+    root = tempfile.mkdtemp(prefix="frontier_compact_")
+    try:
+        eng1 = FrontierEngine(
+            spark, cfg_c, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+            use_bloom=True,
+        )
+        eng1.run(max_epochs=3)  # epoch 2 compacted, epoch 3 is a delta
+        m = eng1.catalog.load_manifest()
+        assert "frontier_delta" in m["tables"], "resume point must have deltas"
+        eng2 = FrontierEngine(
+            spark, cfg_c, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+            use_bloom=True,
+        )
+        eng2.run(max_epochs=N_EPOCHS)
+        assert _log_tuples_engine(eng2) == _log_tuples_sim(sim)
+        seen = {r.url_canon for r in eng2.frontier().select("url_canon").collect()}
+        assert seen == sim.seen
+        # post-compaction manifest carries no delta log (epoch 6 compacted)
+        m = eng2.catalog.load_manifest()
+        assert "frontier_delta" not in m["tables"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_https_fallback_seed(engine_run, sim):
     """C2: the dead-http seed for the https-only host bootstraps as https
     and gets crawled (utils/common.py:155-181 semantics), identically in
