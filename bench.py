@@ -339,13 +339,12 @@ def main() -> None:
         kw = dict(n_pages=1_000_000, n_hosts=3000, n_seeds=600_000,
                   max_epochs=epochs_per_run)
 
-        def sample(cpus):
-            """k fresh-JVM runs; per-epoch throughput samples + medians.
+        def summarize(cpus, runs):
+            """Per-epoch throughput samples + medians over k fresh-JVM runs.
 
             Median over per-epoch samples (advisor guidance): a ratio of
             maxima is biased and unstable under the VM's ±2-3x steal noise;
             the median of 9 per-epoch samples is a stable estimator."""
-            runs = [crawl_bench_subprocess(cpus, **kw) for _ in range(n_runs)]
             eps = [e for r in runs for e in r["epoch_samples"]]
             return {
                 "cpus": cpus,
@@ -363,7 +362,16 @@ def main() -> None:
                 ),
             }
 
-        low, high = sample(n_low), sample(n_high)
+        # INTERLEAVE the two core counts (low,high,low,high,...): host
+        # steal on this shared VM drifts over minutes, so sampling all-N
+        # then all-4N would let a steal episode land entirely on one side
+        # and bias the ratio; alternating spreads it over both
+        low_runs, high_runs = [], []
+        for _ in range(n_runs):
+            low_runs.append(crawl_bench_subprocess(n_low, **kw))
+            high_runs.append(crawl_bench_subprocess(n_high, **kw))
+        low = summarize(n_low, low_runs)
+        high = summarize(n_high, high_runs)
         eff = (high["median_urls_per_sec"] / low["median_urls_per_sec"]) / (
             n_high / n_low
         )

@@ -69,6 +69,21 @@ def _host_col(url_col):
     return F.parse_url(url_col, F.lit("HOST"))
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a staged parquet directory from its file footers —
+    driver-side metadata reads, no Spark job. (On an object store this
+    becomes a manifest/footer listing; same O(files) cost.)"""
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(_os.path.join(path, "*.parquet"))
+    )
+
+
 @dataclass
 class EpochStats:
     epoch: int
@@ -848,9 +863,10 @@ class FrontierEngine:
         mark('metrics_dag')
         # per-host metrics stay a WRITE-ONLY distributed sink (at 10^8 hosts
         # a driver collect is an OOM). The epoch counters piggyback on the
-        # metrics delta write via observe(): the write job that stages the
-        # delta ALSO aggregates the four scalars — no separate metrics pin,
-        # no single-row collect job.
+        # metrics delta write via observe(); the write itself joins the
+        # commit pool below, so NO serial metrics job remains — the
+        # scalars are read back after the pool drains, inside the
+        # deferred-meta callable.
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -859,30 +875,29 @@ class FrontierEngine:
             F.sum("queued").alias("q"), F.sum("fetched").alias("f"),
             F.sum("failed").alias("fl"), F.sum("errors").alias("e"),
         )
-        metrics.write.mode("overwrite").parquet(
-            self.catalog.stage_path("metrics", kind="append")
-        )
-        tot = obs.get
-        n_new = int(tot["q"] or 0)
-        n_fetched = int(tot["f"] or 0)
-        n_failed = int(tot["fl"] or 0)
-        n_attempts = n_fetched + int(tot["e"] or 0)
 
-        mark('metrics_collect')
-        # --- commit: MOR deltas, compaction every k epochs ---
+        # --- commit: MOR deltas, adaptive compaction ---
         replace: dict[str, DataFrame] = {}
-        append: dict[str, DataFrame] = {}
+        append: dict[str, DataFrame] = {"metrics": metrics}
         drop: list[str] = []
         # adaptive compaction: rewrite the base once the pending delta log
         # reaches compact_delta_ratio of the frontier (cheap at small
         # scale where that is every epoch; rare at web scale), with
-        # frontier_compact_epochs as a hard interval cap
-        frontier_rows = int(
+        # frontier_compact_epochs as a hard interval cap. Decided BEFORE
+        # the commit pool so every table write runs concurrently: the
+        # attempt count comes from the staged events file's parquet
+        # footers (driver-local metadata read, no job); the admission
+        # count, unknown until the metrics write finishes, is left out of
+        # the trigger — compaction timing is a pure cost knob (any cadence
+        # is exact, per the cadence-invariance parity test), and the
+        # recorded delta_rows below uses the true value.
+        prev_frontier_rows = int(
             meta.get("frontier_rows", meta.get("queued", 0))
-        ) + n_new
-        pending = int(meta.get("delta_rows", 0)) + n_attempts + n_new
+        )
+        n_attempts_staged = _parquet_rows(events_path)
         compact = (
-            pending >= cfg.compact_delta_ratio * max(frontier_rows, 1)
+            int(meta.get("delta_rows", 0)) + n_attempts_staged
+            >= cfg.compact_delta_ratio * max(prev_frontier_rows, 1)
             or (epoch + 1) % max(cfg.frontier_compact_epochs, 1) == 0
         )
         if compact:
@@ -908,39 +923,62 @@ class FrontierEngine:
         else:
             append["frontier_delta"] = frontier_delta_next
             append["host_state_delta"] = host_state_delta
-        if self.use_bloom and n_new > 0:
+        if self.use_bloom:
+            # unconditional: n_new is unknown until the pool drains; a
+            # zero-admission update is one cheap cogrouped pass
             replace["blooms"] = seen_mod.update_blooms(
                 self._load("blooms"), admitted.select("url_hash"),
                 cfg.num_host_shards, cfg.bloom_bits_per_shard,
                 cfg.bloom_num_hashes,
             )
-        # queued' = queued − terminal attempts + newly admitted (no extra scan)
-        n_terminal = n_fetched + n_failed
-        prev_queued = meta.get("queued")
-        if prev_queued is None:
-            prev_queued = self._queued_view(latest).count()
-        queued_remaining = int(prev_queued) - n_terminal + n_new
         if fetch_log_extra is not None:
             append["fetch_verify"] = fetch_log_extra
-        self.catalog.commit(
-            replace=replace or None,
-            append=append or None,
-            drop=drop or None,
-            pre_written={"fetch_log": "append", "metrics": "append"},
-            meta={
+
+        stats_box: dict[str, int] = {}
+
+        def _meta() -> dict[str, Any]:
+            # runs after the commit pool drains (metrics write included),
+            # so the observed counters are final
+            tot = obs.get
+            n_new = int(tot["q"] or 0)
+            n_fetched = int(tot["f"] or 0)
+            n_failed = int(tot["fl"] or 0)
+            n_attempts = n_fetched + int(tot["e"] or 0)
+            # queued' = queued − terminal attempts + newly admitted
+            n_terminal = n_fetched + n_failed
+            prev_queued = meta.get("queued")
+            if prev_queued is None:
+                prev_queued = self._queued_view(latest).count()
+            queued_remaining = int(prev_queued) - n_terminal + n_new
+            pending = int(meta.get("delta_rows", 0)) + n_attempts + n_new
+            stats_box.update(
+                n_new=n_new, n_fetched=n_fetched, n_attempts=n_attempts,
+                queued_remaining=queued_remaining,
+            )
+            return {
                 "epoch": epoch + 1,
                 "seq_offset": seq_offset + n_attempts,
                 "total_fetched": total_fetched + n_fetched,
                 "queued": queued_remaining,
-                "frontier_rows": frontier_rows,
-                # delta-log row count, maintained from this epoch's known
-                # scalars (attempts + admissions) — powers the _delta_hint
-                # broadcast gate without ever running a count() job
+                "frontier_rows": prev_frontier_rows + n_new,
+                # true delta-log row count (attempts + admissions) —
+                # powers the _delta_hint broadcast gate with no count() job
                 "delta_rows": 0 if compact else pending,
                 "done": queued_remaining == 0
                 or total_fetched + n_fetched >= cfg.max_fetches,
-            },
+            }
+
+        self.catalog.commit(
+            replace=replace or None,
+            append=append or None,
+            drop=drop or None,
+            pre_written={"fetch_log": "append"},
+            meta=_meta,
         )
+        n_new = stats_box["n_new"]
+        n_fetched = stats_box["n_fetched"]
+        n_attempts = stats_box["n_attempts"]
+        queued_remaining = stats_box["queued_remaining"]
         mark('commit')
         self._release_pins()
         self.last_timings = {k: v for k, v in _t.items() if k != '_start'}

@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -83,7 +83,7 @@ class SnapshotCatalog:
         self,
         replace: dict[str, DataFrame] | None = None,
         append: dict[str, DataFrame] | None = None,
-        meta: dict[str, Any] | None = None,
+        meta: dict[str, Any] | Callable[[], dict[str, Any]] | None = None,
         pre_written: dict[str, str] | None = None,
         drop: list[str] | None = None,
     ) -> int:
@@ -95,6 +95,10 @@ class SnapshotCatalog:
         the commit only records them in the manifest (no write job).
         ``drop`` removes tables from the manifest (their data files become
         unreferenced — e.g. delta logs folded into a compacted base).
+        ``meta`` may be a zero-arg callable, evaluated after the data
+        writes finish but before the manifest publish — for metadata that
+        depends on write-side observations (Dataset.observe counters riding
+        on a table write in the pool).
         """
         prev = self.load_manifest()
         snap_id = (prev["snapshot_id"] + 1) if prev else 0
@@ -146,7 +150,7 @@ class SnapshotCatalog:
             "snapshot_id": snap_id,
             "committed_at": time.time(),
             "tables": tables,
-            "meta": meta or {},
+            "meta": (meta() if callable(meta) else meta) or {},
             "parent": prev["snapshot_id"] if prev else None,
         }
         tmp = os.path.join(self.manifest_dir, f".manifest-{snap_id}.json.tmp")
