@@ -105,6 +105,18 @@ class CrawlConfig:
     max_fetches: int = 1_000_000
     max_epochs: int = 1000
 
+    # robots freshness (robotsValidityDurationSeconds, crawler-beans.cxml:
+    # 239-243; Heritrix default 86400 s). None = robots are immutable for
+    # the whole crawl (the static default — zero per-epoch cost). When set,
+    # the crawler keeps a per-host robots cache stamped with its fetch
+    # time and re-reads the server's current rules at the start of the
+    # first epoch in which the host has schedulable work and the cache is
+    # older than the TTL (first contact = missing cache = immediate
+    # fetch). Refresh is epoch-quantized — both the engine and the
+    # reference simulator apply the rule at epoch_start, so a mid-crawl
+    # robots change alters the schedule identically on both sides.
+    robots_ttl_ms: int | None = None
+
     # virtual-clock epoch window
     epoch_window_ms: int = 600_000
 

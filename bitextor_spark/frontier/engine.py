@@ -62,6 +62,7 @@ EVENT_SCHEMA = (
     "not_before_ms long, discovered_epoch int"
 )
 HOST_STATE_SCHEMA = "host string, next_allowed_ms long"
+ROBOTS_STATE_SCHEMA = "host string, crawl_delay_s int, fetched_ms long"
 METRIC_COLS = ("fetched", "errors", "skipped_seen", "skipped_scope", "queued")
 
 
@@ -107,11 +108,18 @@ class FrontierEngine:
         use_bloom: bool = True,
         images: DataFrame | None = None,
         verify_payloads: bool = False,
+        robots_versions: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.catalog = SnapshotCatalog(catalog_root)
         self.robots = robots.cache()
+        # versioned robots timeline (host, valid_from_ms, crawl_delay_s)
+        # for TTL-mode crawls; per-epoch reads are semi-joined down to the
+        # epoch's active hosts, never scanned whole into the driver
+        self.robots_versions = (
+            robots_versions.cache() if robots_versions is not None else None
+        )
         self.seeds = seeds
         self.use_bloom = use_bloom
         # image+caption payload table (input_hint shape); verified per fetch
@@ -313,6 +321,8 @@ class FrontierEngine:
         "frontier_delta": FRONTIER_SCHEMA,
         "host_state": HOST_STATE_SCHEMA,
         "host_state_delta": HOST_STATE_SCHEMA,
+        "robots_state": ROBOTS_STATE_SCHEMA,
+        "robots_state_delta": ROBOTS_STATE_SCHEMA,
         "seed_domains": "reg_domain string",
         "blooms": seen_mod.BLOOM_SCHEMA,
         "fetch_log": EVENT_SCHEMA + ", epoch int",
@@ -468,6 +478,75 @@ class FrontierEngine:
             .agg(F.max("next_allowed_ms").alias("next_allowed_ms"))
         )
 
+    def _robots_state_view(self) -> DataFrame | None:
+        """Per-host robots cache (crawl_delay_s, fetched_ms) — MOR like
+        host_state: fetch timestamps only grow, so latest-wins is a
+        max_by over base ∪ deltas. None until the first TTL-mode epoch."""
+        base = self.catalog.read(
+            self.spark, "robots_state", schema=ROBOTS_STATE_SCHEMA
+        )
+        deltas = self._deltas("robots_state_delta")
+        if base is None and deltas is None:
+            return None
+        both = (
+            base.unionByName(deltas)
+            if base is not None and deltas is not None
+            else (base if base is not None else deltas)
+        )
+        return (
+            both.groupBy("host")
+            .agg(
+                F.max_by(
+                    F.struct("crawl_delay_s", "fetched_ms"), "fetched_ms"
+                ).alias("_w")
+            )
+            .select("host", "_w.*")
+        )
+
+    def _effective_robots(
+        self, active_hosts: DataFrame, epoch_start: int
+    ) -> DataFrame:
+        """TTL-mode effective Crawl-delay per active host, plus the
+        refresh decision (robotsValidityDurationSeconds, crawler-beans
+        .cxml:239-243, epoch-quantized — the simulator applies the same
+        rule). O(hosts with schedulable work), never O(all hosts): the
+        versions table is semi-joined down to the epoch's active hosts
+        before its latest-version groupBy, and all joins shuffle on host —
+        the same key the politeness groupBy clusters on."""
+        cfg = self.cfg
+        cur = (
+            self.robots_versions.join(active_hosts, "host", "left_semi")
+            .filter(F.col("valid_from_ms") <= epoch_start)
+            .groupBy("host")
+            .agg(
+                F.max_by("crawl_delay_s", "valid_from_ms").alias("_cur_delay")
+            )
+        )
+        state = self._robots_state_view()
+        j = active_hosts.join(cur, "host", "left")
+        if state is not None:
+            j = j.join(state, "host", "left")
+        else:
+            j = j.withColumn(
+                "crawl_delay_s", F.lit(None).cast("int")
+            ).withColumn("fetched_ms", F.lit(None).cast("long"))
+        expired = F.col("fetched_ms").isNull() | (
+            F.lit(epoch_start) - F.col("fetched_ms")
+            >= F.lit(cfg.robots_ttl_ms)
+        )
+        return j.select(
+            "host",
+            F.when(expired, F.coalesce("_cur_delay", F.lit(0)))
+            .otherwise(F.col("crawl_delay_s"))
+            .cast("int")
+            .alias("crawl_delay_s"),
+            F.when(expired, F.lit(epoch_start))
+            .otherwise(F.col("fetched_ms"))
+            .cast("long")
+            .alias("fetched_ms"),
+            expired.alias("_refreshed"),
+        )
+
     # ------------------------------------------------------------------ #
     # one epoch                                                           #
     # ------------------------------------------------------------------ #
@@ -514,6 +593,22 @@ class FrontierEngine:
             # precedence floor (C10): below-floor cash never schedules
             queued = queued.filter(F.col("priority") >= cfg.priority_floor)
 
+        # --- robots freshness (TTL mode): refresh expired per-host caches
+        # for this epoch's active hosts (hosts with schedulable work — the
+        # exact set the simulator's by_host loop visits). One pinned
+        # O(active-hosts) table feeds both the delay join below and the
+        # robots_state delta in the commit pool. Static mode: zero cost.
+        ttl_mode = (
+            cfg.robots_ttl_ms is not None and self.robots_versions is not None
+        )
+        robots_eff = None
+        if ttl_mode:
+            robots_eff = self._pin(
+                self._effective_robots(
+                    queued.select("host").distinct(), epoch_start
+                )
+            )
+
         # --- per-host schedulable prefix (bounds mega-host skew) ---
         k_cap = min(cfg.replenish_per_epoch,
                     cfg.epoch_window_ms // max(cfg.min_delay_ms, 1) + 2)
@@ -551,7 +646,13 @@ class FrontierEngine:
             # 10^8-host north-star they become shuffle joins on host — the
             # same key the politeness groupBy below clusters on, so the
             # exchange is reused, never a multi-GB driver broadcast.
-            .join(self.robots.select("host", "crawl_delay_s"), "host", "left")
+            .join(
+                robots_eff.select("host", "crawl_delay_s")
+                if ttl_mode
+                else self.robots.select("host", "crawl_delay_s"),
+                "host",
+                "left",
+            )
             .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0)))
             .join(host_state, "host", "left")
             .withColumn("next_allowed_ms",
@@ -920,9 +1021,40 @@ class FrontierEngine:
                 F.max("next_allowed_ms").alias("next_allowed_ms")
             )
             drop = ["frontier_delta", "host_state_delta"]
+            if ttl_mode:
+                # fold the robots cache the same way: base ∪ delta log ∪
+                # this epoch's refreshed rows, latest-fetch-wins
+                parts = [
+                    robots_eff.filter("_refreshed").select(
+                        "host", "crawl_delay_s", "fetched_ms"
+                    )
+                ]
+                old_r = self.catalog.read(
+                    self.spark, "robots_state", schema=ROBOTS_STATE_SCHEMA
+                )
+                old_rd = self._deltas("robots_state_delta")
+                parts += [p for p in (old_r, old_rd) if p is not None]
+                all_r = parts[0]
+                for p in parts[1:]:
+                    all_r = all_r.unionByName(p)
+                replace["robots_state"] = (
+                    all_r.groupBy("host")
+                    .agg(
+                        F.max_by(
+                            F.struct("crawl_delay_s", "fetched_ms"),
+                            "fetched_ms",
+                        ).alias("_w")
+                    )
+                    .select("host", "_w.*")
+                )
+                drop.append("robots_state_delta")
         else:
             append["frontier_delta"] = frontier_delta_next
             append["host_state_delta"] = host_state_delta
+            if ttl_mode:
+                append["robots_state_delta"] = robots_eff.filter(
+                    "_refreshed"
+                ).select("host", "crawl_delay_s", "fetched_ms")
         if self.use_bloom:
             # unconditional: n_new is unknown until the pool drains; a
             # zero-admission update is one cheap cogrouped pass

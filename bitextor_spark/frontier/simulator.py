@@ -35,7 +35,7 @@ from bitextor_spark.frontier.politeness import (
     QueueEntry,
     schedule_host,
 )
-from bitextor_spark.frontier.world import World
+from bitextor_spark.frontier.world import World, server_crawl_delay
 from bitextor_spark.functions.urls import (
     canonicalize_url,
     host_of,
@@ -134,6 +134,22 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
     metrics: dict[str, dict] = {}
     log: list[LogRow] = []
 
+    # robots freshness (robotsValidityDurationSeconds semantics): per-host
+    # cached Crawl-delay + fetch timestamp; refreshed at epoch_start for
+    # any host with schedulable work whose cache is missing or older than
+    # the TTL. Static mode (robots_ttl_ms=None) reads world.robots direct.
+    robots_fetched_ms: dict[str, int] = {}
+    cached_delay: dict[str, int] = {}
+
+    def crawl_delay(host: str, epoch_start: int) -> int:
+        if cfg.robots_ttl_ms is None:
+            return world.robots.get(host, (0, []))[0]
+        fetched = robots_fetched_ms.get(host)
+        if fetched is None or epoch_start - fetched >= cfg.robots_ttl_ms:
+            robots_fetched_ms[host] = epoch_start
+            cached_delay[host] = server_crawl_delay(world, host, epoch_start)
+        return cached_delay[host]
+
     def m(host: str) -> dict:
         return metrics.setdefault(
             host,
@@ -199,7 +215,7 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
         # per-host politeness walk
         all_events: list[tuple[str, FetchEvent]] = []
         for host in sorted(by_host):
-            delay_s, _ = world.robots.get(host, (0, []))
+            delay_s = crawl_delay(host, epoch_start)
             events, cursor = schedule_host(
                 by_host[host], next_allowed.get(host, 0), delay_s,
                 epoch_start, epoch_end, cfg,

@@ -45,6 +45,22 @@ class World:
     robots: dict[str, tuple[int, list[str]]]  # host -> (crawl_delay_s, disallow)
     seeds: list[str]  # messy, non-canonical on purpose
     cfg: WorldConfig = field(default_factory=WorldConfig)
+    # mid-crawl robots changes (server side): host -> sorted
+    # [(valid_from_ms, crawl_delay_s)]. The server's answer at virtual time
+    # t is the last version with valid_from_ms <= t (initial = robots[h]).
+    # Only observed by crawlers running with cfg.robots_ttl_ms set.
+    robots_updates: dict[str, list[tuple[int, int]]] = field(
+        default_factory=dict
+    )
+
+
+def server_crawl_delay(world: "World", host: str, t_ms: int) -> int:
+    """What the host's robots.txt serves at virtual time t_ms."""
+    delay, _ = world.robots.get(host, (0, []))
+    for valid_from, new_delay in world.robots_updates.get(host, ()):
+        if valid_from <= t_ms:
+            delay = new_delay
+    return delay
 
 
 def _messy(rng: random.Random, canon: str) -> str:
@@ -254,6 +270,16 @@ def world_to_dfs(
         [(u, i) for i, u in enumerate(world.seeds)], "seed_url string, seed_id int"
     )
     out = {"pages": pages, "robots": robots, "seeds": seeds}
+    # versioned robots timeline for TTL-mode crawls (valid_from_ms=0 rows
+    # are the initial rules; later rows are mid-crawl server-side changes)
+    version_rows = [(h, 0, d) for h, (d, _) in world.robots.items()] + [
+        (h, vf, d)
+        for h, ups in world.robots_updates.items()
+        for vf, d in ups
+    ]
+    out["robots_versions"] = spark.createDataFrame(
+        version_rows, "host string, valid_from_ms long, crawl_delay_s int"
+    )
     if with_images:
         from bitextor_spark.functions.images import make_image_row
 

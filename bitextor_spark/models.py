@@ -1,0 +1,95 @@
+"""Pluggable model artifacts for W2 (rerank) and P7 (language ID).
+
+The reference ships real model files — a pickled SVM classifier for
+document-pair ranking (/root/reference/bitextor/docalign/bitextor_rank.py:
+22-41 loading data/model/docalign.svm.classifier) and the cld2 language
+model inside warc2preprocess. The Spark operators keep deterministic
+stand-ins as defaults (so the DuckDB oracles can replay them bit-for-bit);
+the loaders here swap real artifacts in behind the SAME pandas-UDF seams
+without touching the plan shape:
+
+- W2 rerank: any pickled object exposing the sklearn prediction API
+  (``predict_proba`` or ``decision_function``) over the feature matrix
+  ``[[z_chars, tok_ratio]]`` — an actual ``sklearn.svm.SVC
+  (probability=True)`` drops straight in when sklearn is installed.
+- P7 langid: a trigram-profile table ``lang<TAB>trigram`` (tsv; one row
+  per profile trigram) — a cld2/cld3-style table exported to text.
+
+Model paths come from the call site or from the environment (read at
+query invocation, so a driver can point a whole run at artifacts):
+
+  BITEXTOR_SPARK_RERANK_MODEL   — path to a pickle
+  BITEXTOR_SPARK_LANGID_PROFILE — path to a lang\ttrigram tsv
+
+Loaded artifacts are closure-captured by the pandas UDFs and shipped to
+executors via task serialization — models of real size (MBs) should be
+broadcast instead; the seam is the same.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+
+class FixedLogisticRerank:
+    """Default W2 stand-in: fixed-weight logistic over (z_chars, tok_ratio).
+
+    Mirrors the oracle SQL in queries_batch2.w2_rerank_groups exactly —
+    sigmoid(w0*z + w1*tok_ratio). Exposes the sklearn ``predict_proba``
+    shape (N, 2) so the real classifier is a drop-in swap.
+    """
+
+    def __init__(self, w_z: float = 1.5, w_tok: float = 0.5):
+        self.w_z = w_z
+        self.w_tok = w_tok
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = self.w_z * X[:, 0] + self.w_tok * X[:, 1]
+        p1 = 1.0 / (1.0 + np.exp(-z))
+        return np.column_stack([1.0 - p1, p1])
+
+
+def load_rerank_model(path: str | None = None):
+    """W2 model artifact: pickle at `path` (or $BITEXTOR_SPARK_RERANK_MODEL),
+    else the deterministic default the oracle replays."""
+    path = path or os.environ.get("BITEXTOR_SPARK_RERANK_MODEL")
+    if not path:
+        return FixedLogisticRerank()
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+def rerank_scores(model, X: np.ndarray) -> np.ndarray:
+    """Positive-class score from any sklearn-API model (predict_proba
+    column 1, falling back to decision_function)."""
+    if hasattr(model, "predict_proba"):
+        return np.asarray(model.predict_proba(X))[:, 1]
+    return np.asarray(model.decision_function(X), dtype=float)
+
+
+def load_langid_profile(
+    path: str | None = None,
+    default: dict[str, tuple[str, ...]] | None = None,
+) -> list[tuple[str, str]]:
+    """P7 profile rows (lang, trigram): tsv at `path` (or
+    $BITEXTOR_SPARK_LANGID_PROFILE), else the built-in default profile."""
+    path = path or os.environ.get("BITEXTOR_SPARK_LANGID_PROFILE")
+    if not path:
+        assert default is not None
+        return [
+            (lang, t)
+            for lang, tris in sorted(default.items())
+            for t in tris
+        ]
+    rows: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            lang, _, tri = line.partition("\t")
+            rows.append((lang, tri))
+    return rows

@@ -114,16 +114,23 @@ def a5_dedup_best_group(spark, sf_dir):
 )
 def w2_rerank_groups(spark, sf_dir):
     """Per-group model re-rank: the SVM predict_proba → sort → threshold
-    shape of bitextor_rank.py:22-79, with a fixed-weight logistic model so
-    the oracle can replay it. Grouped-map pandas UDF (Arrow batches)."""
+    shape of bitextor_rank.py:22-79. The model is a pluggable artifact
+    (models.load_rerank_model — sklearn predict_proba API); the default is
+    a fixed-weight logistic so the oracle can replay it. Grouped-map
+    pandas UDF (Arrow batches)."""
+    from bitextor_spark.models import load_rerank_model, rerank_scores
+
+    model = load_rerank_model()
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", token_count(F.col("text")).alias("n_tok")
     )
 
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["n_chars"].mean()
-        z = (pdf["n_chars"] - mu) / 1000.0
-        score = (1.0 / (1.0 + np.exp(-(1.5 * z + 0.5 * pdf["n_tok"] / 100.0))))
+        X = np.column_stack(
+            [(pdf["n_chars"] - mu) / 1000.0, pdf["n_tok"] / 100.0]
+        )
+        score = pd.Series(rerank_scores(model, X), index=pdf.index)
         out = pdf.assign(score=score.round(4)).sort_values(
             ["score", "doc_id"], ascending=[False, True]
         )

@@ -499,12 +499,13 @@ def p7_langid_trigram(spark, sf_dir):
             )
         ).alias("tri"),
     )
+    # profile is a pluggable artifact (models.load_langid_profile — a
+    # cld2/cld3-style exported table); default = the built-in trigrams
+    # the oracle SQL replays
+    from bitextor_spark.models import load_langid_profile
+
     prof = docs.sparkSession.createDataFrame(
-        [
-            (lang, t)
-            for lang, tris in sorted(_LANG_TRIGRAMS.items())
-            for t in tris
-        ],
+        load_langid_profile(default=_LANG_TRIGRAMS),
         "lang string, tri string",
     )
     hits = (

@@ -267,3 +267,47 @@ def test_https_fallback_seed(engine_run, sim):
         if "secure.exsec.com" in r.url_canon
     }
     assert eng_sec == set(sec)
+
+
+def test_robots_ttl_refresh_parity(spark, no_aqe):
+    """Robots freshness (C-robots-TTL, crawler-beans.cxml:239-243): a
+    mid-crawl server-side robots change alters the schedule IDENTICALLY in
+    the engine and the reference simulator, the TTL cache delays when the
+    change is observed, and the per-host robots cache survives a mid-crawl
+    resume from snapshot."""
+    import dataclasses
+
+    from bitextor_spark.frontier.world import server_crawl_delay
+
+    world = small_world(WORLD_CFG)
+    w_ms = CFG.epoch_window_ms
+    # server-side changes at t=W: the zero-delay mega host turns slow, a
+    # slow host frees up, the >300s-clamped host drops to 1s
+    world.robots_updates = {
+        "mega.ex0.com": [(w_ms, 60)],
+        "site4.ex4.com": [(w_ms, 0)],
+        "site5.ex5.com": [(w_ms, 1)],
+    }
+    assert server_crawl_delay(world, "mega.ex0.com", 0) == 0
+    assert server_crawl_delay(world, "mega.ex0.com", w_ms) == 60
+    ttl_cfg = dataclasses.replace(CFG, robots_ttl_ms=2 * w_ms)
+
+    ttl_sim = simulate(world, ttl_cfg)
+    static_sim = simulate(world, CFG)
+    # the refresh must actually change the crawl, or the test is vacuous
+    assert _log_tuples_sim(ttl_sim) != _log_tuples_sim(static_sim)
+
+    dfs = world_to_dfs(spark, world)
+    root = tempfile.mkdtemp(prefix="frontier_ttl_")
+    try:
+        args = (spark, ttl_cfg, root, dfs["pages"], dfs["robots"], dfs["seeds"])
+        kw = {"use_bloom": True, "robots_versions": dfs["robots_versions"]}
+        eng1 = FrontierEngine(*args, **kw)
+        eng1.run(max_epochs=3)  # stop mid-crawl: cache is warm + committed
+        eng2 = FrontierEngine(*args, **kw)  # resume from snapshot
+        eng2.run(max_epochs=N_EPOCHS)
+        assert _log_tuples_engine(eng2) == _log_tuples_sim(ttl_sim)
+        seen = {r.url_canon for r in eng2.frontier().select("url_canon").collect()}
+        assert seen == ttl_sim.seen
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
