@@ -101,7 +101,7 @@ class FrontierEngine:
         self,
         spark: SparkSession,
         cfg: CrawlConfig,
-        catalog_root: str,
+        catalog_root: "str | Any",
         pages: DataFrame,
         robots: DataFrame,
         seeds: DataFrame,
@@ -112,7 +112,15 @@ class FrontierEngine:
     ):
         self.spark = spark
         self.cfg = cfg
-        self.catalog = SnapshotCatalog(catalog_root)
+        # storage seam: a path gets the filesystem manifest catalog; any
+        # object implementing the same interface (TableCatalog /
+        # IcebergCatalog in sources/catalogs.py) swaps the backend without
+        # touching the engine
+        self.catalog = (
+            SnapshotCatalog(catalog_root)
+            if isinstance(catalog_root, str)
+            else catalog_root
+        )
         self.robots = robots.cache()
         # versioned robots timeline (host, valid_from_ms, crawl_delay_s)
         # for TTL-mode crawls; per-epoch reads are semi-joined down to the
