@@ -475,6 +475,37 @@ class FrontierEngine:
             return base
         return base.unionByName(latest.select("url_hash"))
 
+    def _base_urls(self) -> DataFrame:
+        """url_hash set of the frontier BASE, hash-partitioned + sorted +
+        persisted ACROSS epochs — the base is immutable between
+        compactions, so the per-epoch maybe-seen anti-join must not pay an
+        O(frontier) exchange-and-sort every epoch. The persisted layout
+        (HashPartitioning on url_hash, sorted within partitions) is reused
+        by the sort-merge anti-join: only the small maybe side shuffles.
+        Rebuilt when the manifest's base paths change (compaction or
+        resume); recomputable lineage (persist, not checkpoint), so
+        executor loss re-reads parquet instead of failing the epoch."""
+        m = self.catalog.load_manifest()
+        key = tuple(m["tables"]["frontier"]["paths"]) if m else None
+        cached: tuple | None = getattr(self, "_base_urls_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        df = (
+            self._load("frontier")
+            .select("url_hash")
+            .repartition(n, "url_hash")
+            .sortWithinPartitions("url_hash")
+            .persist()
+        )
+        self._base_urls_cache = (key, df)
+        return df
+
     def _host_state_view(self) -> DataFrame:
         base = self._load("host_state")
         deltas = self._deltas("host_state_delta")
@@ -906,15 +937,27 @@ class FrontierEngine:
             maybe = grouped.filter(F.col("maybe_seen")).drop(
                 "maybe_seen", "n_disc"
             )
-            really_new = maybe.join(
-                self._frontier_urls(latest), "url_hash", "left_anti"
-            )
+            # presence = in base OR in delta log; two anti-joins so the
+            # base side reuses the cross-epoch persisted layout and the
+            # delta side stays a broadcast (gated) — never a fresh
+            # O(frontier) exchange per epoch
+            really_new = maybe.join(self._base_urls(), "url_hash", "left_anti")
+            if latest is not None:
+                really_new = really_new.join(
+                    self._delta_hint(latest.select("url_hash")),
+                    "url_hash", "left_anti",
+                )
             admitted = definitely_new.unionByName(really_new)
         else:
             grouped = self._pin(grouped)
             admitted = grouped.drop("n_disc").join(
-                self._frontier_urls(latest), "url_hash", "left_anti"
+                self._base_urls(), "url_hash", "left_anti"
             )
+            if latest is not None:
+                admitted = admitted.join(
+                    self._delta_hint(latest.select("url_hash")),
+                    "url_hash", "left_anti",
+                )
         # every duplicate discovery of a URL shares the URL's host, so the
         # per-host dupe counter is derivable without ranking individual rows
         wave_dupes = grouped.groupBy("host").agg(
