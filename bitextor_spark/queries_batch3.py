@@ -16,6 +16,7 @@ Covered (SURVEY.md §2 citations):
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from bitextor_spark.queries import T, q, ts_us
@@ -484,12 +485,90 @@ def _langid_profile_sql() -> str:
 
 @q("p7_langid_trigram", _langid_profile_sql())
 def p7_langid_trigram(spark, sf_dir):
-    from pyspark.sql import Window
+    # profile is a pluggable artifact (models.load_langid_profile — a
+    # cld2/cld3-style exported table); default = the built-in trigrams
+    # the oracle SQL replays
+    from bitextor_spark.models import load_langid_profile
 
+    rows = load_langid_profile(default=_LANG_TRIGRAMS)
     docs = T(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
     # substring with a dynamic start needs expr form
     docs2 = docs.select("doc_id", s.alias("s"))
+    if len(rows) <= 512:
+        # small profile (the shipped default): one narrow JVM pass — hits
+        # per lang = count of sliding-window trigram positions matching the
+        # profile, computed as regexp_count over a zero-width lookahead
+        # alternation ("(?=(?:the|and|...))" matches every OVERLAPPING
+        # position, exactly the explode's sliding window). Winner via
+        # array_min(struct(-hits, lang)). Identical semantics to the
+        # explode→join→groupBy→rank plan (a trigram may sit in several
+        # profiles; each lang scans independently), but the doc table never
+        # explodes to one row per character, nothing shuffles, and the
+        # whole expression stays inside whole-stage codegen — no
+        # interpreted higher-order lambdas recomputing the normalization.
+        from collections import Counter
+
+        # one parquet file scans as one task; spread the regex scoring
+        # (explicit numPartitions — AQE does not coalesce it away)
+        docs2 = docs2.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+
+        by_lang: dict[str, Counter] = {}
+        for lang, t in rows:
+            by_lang.setdefault(lang, Counter())[t] += 1
+
+        def lang_hits(cnt: Counter) -> Column:
+            # profile rows may repeat a (lang, trigram) pair; the join plan
+            # (and the oracle's VALUES join) counts each repeat, so weight
+            # position counts by multiplicity
+            by_mult: dict[int, list[str]] = {}
+            for t, m in cnt.items():
+                by_mult.setdefault(m, []).append(t)
+            total = F.lit(0)
+            for m, ts in sorted(by_mult.items()):
+                alt = "|".join("\\Q" + t + "\\E" for t in sorted(ts))
+                n = F.regexp_count(F.col("s"), F.lit(f"(?=(?:{alt}))"))
+                total = total + (F.lit(m) * n)
+            return total.cast("long")
+
+        scored = docs2.select(
+            "doc_id",
+            F.array(
+                *[
+                    F.struct(
+                        (-lang_hits(cnt)).alias("neg_hits"),
+                        F.lit(lang).alias("lang"),
+                    )
+                    for lang, cnt in sorted(by_lang.items())
+                ]
+            ).alias("cand"),
+        )
+        # zero-hit docs drop via a conditional explode, NOT a filter: a
+        # Filter would push below the repartition to the single-task scan
+        # and re-evaluate the whole regex battery serially; Generate stays
+        # put, so the scoring runs exactly once, post-shuffle.
+        w = F.array_min("cand")
+        best = scored.select(
+            "doc_id",
+            F.explode(
+                F.when(w["neg_hits"] < 0, F.array(w)).otherwise(
+                    F.array().cast(
+                        "array<struct<neg_hits:bigint,lang:string>>"
+                    )
+                )
+            ).alias("w"),
+        )
+        return best.select(
+            "doc_id",
+            F.col("w.lang").alias("pred_lang"),
+            (-F.col("w.neg_hits")).alias("hits"),
+        )
+    # large (real-model) profile: per-trigram membership scans stop paying
+    # off, fall back to the broadcast equi-join plan
+    from pyspark.sql import Window
+
     tri_df = docs2.select(
         "doc_id",
         F.explode(
@@ -499,15 +578,7 @@ def p7_langid_trigram(spark, sf_dir):
             )
         ).alias("tri"),
     )
-    # profile is a pluggable artifact (models.load_langid_profile — a
-    # cld2/cld3-style exported table); default = the built-in trigrams
-    # the oracle SQL replays
-    from bitextor_spark.models import load_langid_profile
-
-    prof = docs.sparkSession.createDataFrame(
-        load_langid_profile(default=_LANG_TRIGRAMS),
-        "lang string, tri string",
-    )
+    prof = docs.sparkSession.createDataFrame(rows, "lang string, tri string")
     hits = (
         tri_df.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "lang")
