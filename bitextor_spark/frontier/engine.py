@@ -333,6 +333,7 @@ class FrontierEngine:
         "robots_state_delta": ROBOTS_STATE_SCHEMA,
         "seed_domains": "reg_domain string",
         "blooms": seen_mod.BLOOM_SCHEMA,
+        "bloom_pending": "url_hash long",
         "fetch_log": EVENT_SCHEMA + ", epoch int",
         "metrics": (
             "epoch int, host string, fetched bigint, errors bigint, "
@@ -940,14 +941,18 @@ class FrontierEngine:
             # presence = in base OR in delta log; two anti-joins so the
             # base side reuses the cross-epoch persisted layout and the
             # delta side stays a broadcast (gated) — never a fresh
-            # O(frontier) exchange per epoch
+            # O(frontier) exchange per epoch. The delta check covers
+            # definitely_new too: blooms are merge-on-read (folded only at
+            # compaction), so a bloom miss proves absence from the BASE
+            # only — admissions since the last compaction live in the
+            # delta log alone.
             really_new = maybe.join(self._base_urls(), "url_hash", "left_anti")
+            admitted = definitely_new.unionByName(really_new)
             if latest is not None:
-                really_new = really_new.join(
+                admitted = admitted.join(
                     self._delta_hint(latest.select("url_hash")),
                     "url_hash", "left_anti",
                 )
-            admitted = definitely_new.unionByName(really_new)
         else:
             grouped = self._pin(grouped)
             admitted = grouped.drop("n_disc").join(
@@ -1107,13 +1112,26 @@ class FrontierEngine:
                     "_refreshed"
                 ).select("host", "crawl_delay_s", "fetched_ms")
         if self.use_bloom:
-            # unconditional: n_new is unknown until the pool drains; a
-            # zero-admission update is one cheap cogrouped pass
-            replace["blooms"] = seen_mod.update_blooms(
-                self._load("blooms"), admitted.select("url_hash"),
-                cfg.num_host_shards, cfg.bloom_bits_per_shard,
-                cfg.bloom_num_hashes,
-            )
+            # merge-on-read blooms: per epoch only the admitted url hashes
+            # append (O(admissions) — at the north-star the shard bitmaps
+            # are GBs and a per-epoch rewrite is pure non-scaling fixed
+            # cost); the bitmaps fold at compaction, the same cadence that
+            # resets the delta log. Exactness holds between folds because
+            # the admission path anti-joins the delta log for EVERY
+            # candidate, bloom-hit or not (see the seen check above).
+            if compact:
+                pending = self._deltas("bloom_pending")
+                new_hashes = admitted.select("url_hash")
+                if pending is not None:
+                    new_hashes = new_hashes.unionByName(pending)
+                replace["blooms"] = seen_mod.update_blooms(
+                    self._load("blooms"), new_hashes,
+                    cfg.num_host_shards, cfg.bloom_bits_per_shard,
+                    cfg.bloom_num_hashes,
+                )
+                drop.append("bloom_pending")
+            else:
+                append["bloom_pending"] = admitted.select("url_hash")
         if fetch_log_extra is not None:
             append["fetch_verify"] = fetch_log_extra
 
