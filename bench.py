@@ -242,8 +242,36 @@ def dedup_bench(spark, n_keys: int = 2_000_000) -> dict:
     }
 
 
-def write_report(result: dict) -> None:
+def _append_history(result: dict) -> list[dict]:
+    """Append this run's crawl summary to BENCH/history.jsonl and return
+    all recorded sessions. Host steal on the shared VM moves the measured
+    efficiency ratio between bench sessions even when the code is
+    unchanged; the cross-session record separates code effects (absolute
+    urls/s at each core count) from box effects (the ratio)."""
     os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/history.jsonl"
+    if "crawl" in result:
+        c = result["crawl"]
+        row = {
+            "ts": round(time.time(), 1),
+            "low_median": c["low"]["median_urls_per_sec"],
+            "high_median": c["high"]["median_urls_per_sec"],
+            "efficiency": c["efficiency"],
+            "ceiling": c["machine_ceiling_efficiency"],
+            "vs_ceiling": c["efficiency_vs_ceiling"],
+            "headline_total_sec": result["value"],
+        }
+        with open(path, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+    try:
+        with open(path) as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def write_report(result: dict) -> None:
+    history = _append_history(result)
     lines = [
         "# BENCH/BASELINE — measured numbers",
         "",
@@ -294,6 +322,26 @@ def write_report(result: dict) -> None:
             f"(uniform url-hash bloom shards, per-host top-k prefix, "
             f"parallel snapshot writes) carries its relative efficiency.",
             "",
+        ]
+        if len(history) > 1:
+            lines += [
+                "Cross-session record (same methodology, "
+                "`BENCH/history.jsonl`): absolute throughput at each core "
+                "count tracks code changes; the efficiency ratio moves "
+                "with host steal between sessions.",
+                "",
+                "| session | 4-core median | 16-core median | efficiency "
+                "| box ceiling | vs ceiling |",
+                "|---|---|---|---|---|---|",
+            ]
+            for i, h in enumerate(history, 1):
+                lines.append(
+                    f"| {i} | {h['low_median']} | {h['high_median']} | "
+                    f"{h['efficiency']} | {h['ceiling']} | "
+                    f"{h['vs_ceiling']} |"
+                )
+            lines.append("")
+        lines += [
             "Fixed cost per epoch is bounded by design: the engine runs a "
             "constant Spark-job count per epoch regardless of data volume "
             "(pinned intermediates, one single-row counter collect, "
