@@ -837,8 +837,16 @@ def c6_url_canonicalize(spark, sf_dir):
 
 
 # =========================================================================
-# Non-SQL-expressible operators → rows-only checks (oracle in pytest)
+# Engine-output queries: the DuckDB oracle replays the reference
+# simulator's expected output as literal VALUES (generated by
+# tools/build_fixtures.py), so the driver hash-compares the engine's
+# actual ordered fetch log against the golden single-threaded simulation —
+# the analog of the reference's golden-output md5 gate (tests/common.sh).
+# Only W3/W4 remain rows-only (their exactness oracles are pytest).
 # =========================================================================
+
+from bitextor_spark.expected_fixtures import EXPECTED_SQL  # noqa: E402
+
 
 @q("w3_greedy_match")
 def w3_greedy_match(spark, sf_dir):
@@ -893,17 +901,20 @@ def _crawl_wave_impl(spark, cfg_kwargs):
     )
 
 
-@q("crawl_wave")
+@q("crawl_wave", EXPECTED_SQL["crawl_wave"])
 def crawl_wave(spark, sf_dir):
-    """Engine waves under the default wget-BFS queue order (C3)."""
+    """Engine waves under the default wget-BFS queue order (C3). The
+    oracle is the reference simulator's fetch log for the same world +
+    config, baked as literals at fixture-build time — the driver's DuckDB
+    gate hash-checks the engine's exact crawl order."""
     return _crawl_wave_impl(spark, {})
 
 
-@q("crawl_wave_priority")
+@q("crawl_wave_priority", EXPECTED_SQL["crawl_wave_priority"])
 def crawl_wave_priority(spark, sf_dir):
     """Engine waves under the OPIC-style priority queue + precedence floor
-    (C10); exact-order parity vs the simulator lives in
-    tests/test_frontier_parity.py::test_priority_queue_parity."""
+    (C10); oracle = simulator fetch-log literals (see crawl_wave); broader
+    parity worlds live in tests/test_frontier_parity.py."""
     return _crawl_wave_impl(
         spark, {"queue_order": "priority", "priority_floor": 1e-6}
     )

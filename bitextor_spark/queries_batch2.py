@@ -660,15 +660,22 @@ def _image_table(spark, n=_N_IMG):
     )
 
 
-@q("img_pipeline")
+def _img_pipeline_oracle() -> str:
+    from bitextor_spark.expected_fixtures import EXPECTED_SQL
+
+    return EXPECTED_SQL["img_pipeline"]
+
+
+@q("img_pipeline", _img_pipeline_oracle())
 def img_pipeline(spark, sf_dir):
     """The image training-data pipeline in one Arrow-batched mapInPandas
     pass: decode the binary column → per-channel mean features → phash
     recompute check → 16×16 nearest-neighbor resize → PNG re-encode +
     content digest; aggregated per fmt (formerly img_decode_features +
-    img_resize_grid — one pass, one driver row). Rows-only: byte decoding
-    is not DuckDB-expressible; the codecs are pixel-oracled in
-    tests/test_images.py."""
+    img_resize_grid — one pass, one driver row). Oracle: the expected
+    aggregate recomputed driver-free in pure numpy at fixture-build time
+    (tools/build_fixtures.py) and baked as VALUES literals; the codecs are
+    additionally pixel-oracled in tests/test_images.py."""
     import hashlib
 
     from bitextor_spark.functions.images import decode_image, phash64, png_encode

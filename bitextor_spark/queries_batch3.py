@@ -240,21 +240,39 @@ def j6_mutually_linked(spark, sf_dir):
 # F10 — encoding detect/convert cascade (pandas UDF over binary payloads)
 # =========================================================================
 
-@q("f10_encoding_normalize")
+@q(
+    "f10_encoding_normalize",
+    """
+    WITH marked AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END
+               AS codec,
+             (text = regexp_replace(text, '[^ -~]', '', 'g')) AS ok
+      FROM documents)
+    SELECT codec, count(*) AS n,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+    FROM marked GROUP BY codec
+    """,
+)
 def f10_encoding_normalize(spark, sf_dir):
     """Encoding cascade: try utf-8, fall back to iso-8859-1, then cp1252
     (bitextor_warc2preprocess.py:157-169). Payload bytes are synthesized
-    per-row in a deterministic mix of encodings; the cascade recovers the
-    text and reports which codec decoded it. Rows-only (binary decode is
-    not DuckDB-expressible); exactness asserted in-line: recovered text
-    must equal the original for utf-8/latin-1 rows."""
+    per-row in a deterministic mix of encodings over the ASCII-sanitized
+    text (so every payload is cleanly encodable); the mapInPandas cascade
+    does REAL byte decoding and reports which codec won plus whether the
+    recovered text startswith the original. The oracle predicts both
+    independently in SQL: the latin-1 payload's 0xE9-then-space byte pair
+    always breaks strict utf-8 (→ 'iso-8859-1'), the others decode as
+    utf-8; recovery holds exactly when the text was already printable
+    ASCII."""
     docs = T(spark, sf_dir, "documents")
     # deterministically pick an encoding per row and build the byte payload
     enc = (F.col("doc_id") % 3)
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "")
     payload = (
-        F.when(enc == 0, F.encode(F.concat(F.col("text"), F.lit(" é utf8")), "UTF-8"))
-        .when(enc == 1, F.encode(F.concat(F.col("text"), F.lit(" é latin")), "ISO-8859-1"))
-        .otherwise(F.encode(F.col("text"), "US-ASCII"))
+        F.when(enc == 0, F.encode(F.concat(ascii_text, F.lit(" é utf8")), "UTF-8"))
+        .when(enc == 1, F.encode(F.concat(ascii_text, F.lit(" é latin")), "ISO-8859-1"))
+        .otherwise(F.encode(ascii_text, "US-ASCII"))
     )
     src = docs.select("doc_id", "text", payload.alias("payload"))
 
