@@ -242,18 +242,37 @@ def dedup_bench(spark, n_keys: int = 2_000_000) -> dict:
     }
 
 
-def _append_history(result: dict) -> list[dict]:
+def _git_sha() -> str | None:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=True,
+        ).stdout.strip()
+    except Exception:
+        return None
+
+
+def _append_history(result: dict) -> tuple[list[dict], int]:
     """Append this run's crawl summary to BENCH/history.jsonl and return
-    all recorded sessions. Host steal on the shared VM moves the measured
-    efficiency ratio between bench sessions even when the code is
-    unchanged; the cross-session record separates code effects (absolute
-    urls/s at each core count) from box effects (the ratio)."""
+    (comparable sessions, n_excluded). Host steal on the shared VM moves
+    the measured efficiency ratio between bench sessions even when the
+    code is unchanged; the cross-session record separates code effects
+    (absolute urls/s at each core count) from box effects (the ratio).
+    Every row carries the world/config fingerprint + git SHA, and only
+    rows whose methodology matches the CURRENT run are tabulated — world
+    changes must not silently mix incomparable sessions."""
     os.makedirs("BENCH", exist_ok=True)
     path = "BENCH/history.jsonl"
     if "crawl" in result:
         c = result["crawl"]
         row = {
             "ts": round(time.time(), 1),
+            "git": _git_sha(),
+            "world": c.get("world"),
+            "pair": [c["n_low"], c["n_high"]],
             "low_median": c["low"]["median_urls_per_sec"],
             "high_median": c["high"]["median_urls_per_sec"],
             "efficiency": c["efficiency"],
@@ -265,13 +284,20 @@ def _append_history(result: dict) -> list[dict]:
             fh.write(json.dumps(row) + "\n")
     try:
         with open(path) as fh:
-            return [json.loads(ln) for ln in fh if ln.strip()]
+            rows = [json.loads(ln) for ln in fh if ln.strip()]
     except FileNotFoundError:
-        return []
+        return [], 0
+    if "crawl" not in result:
+        return rows, 0
+    cur_world = result["crawl"].get("world")
+    cur_pair = [result["crawl"]["n_low"], result["crawl"]["n_high"]]
+    match = [r for r in rows
+             if r.get("world") == cur_world and r.get("pair") == cur_pair]
+    return match, len(rows) - len(match)
 
 
 def write_report(result: dict) -> None:
-    history = _append_history(result)
+    history, n_legacy = _append_history(result)
     lines = [
         "# BENCH/BASELINE — measured numbers",
         "",
@@ -285,58 +311,72 @@ def write_report(result: dict) -> None:
     for k, v in sorted(result["queries"].items(), key=lambda kv: -kv[1]):
         lines.append(f"| {k} | {v} |")
     lines += ["", f"**total: {result['value']} s**", ""]
-    if "crawl" in result:
-        c = result["crawl"]
+    pairs = [p for p in (result.get("crawl"), result.get("crawl_pair_8_32"))
+             if p]
+    if pairs:
+        c0 = pairs[0]
         lines += [
-            "## Crawl engine scaling (same world, two parallelism levels)",
+            "## Crawl engine scaling (same world, two parallelism levels, "
+            "two core-count pairs)",
             "",
-            f"{c['n_runs']} fresh-JVM runs per core count, "
-            f"{c['epochs_per_run']} epochs per run; each epoch is one "
+            f"Per pair: {c0['n_runs']} fresh-JVM runs per core count, "
+            f"{c0['epochs_per_run']} epochs per run; each epoch is one "
             "throughput sample (attempts / epoch wall). The shared-VM "
             "sandbox has ±2-3x wall-clock noise from host steal, so the "
-            "efficiency headline is the MEDIAN over per-epoch samples.",
+            "efficiency headline is the MEDIAN over per-epoch samples. "
+            "4→16 covers the box's physical cores; 8→32 is the driver's "
+            "spec'd example pair (its high side lands in 2-way SMT "
+            "oversubscription — see each pair's machine ceiling).",
             "",
             "| cores | samples | median urls/s | best urls/s | jobs/epoch |",
             "|---|---|---|---|---|",
         ]
-        for r in (c["low"], c["high"]):
-            lines.append(
-                f"| {r['cpus']} | {r['n_samples']} | {r['median_urls_per_sec']} | "
-                f"{r['best_urls_per_sec']} | {r['jobs_per_epoch']} |"
-            )
+        for c in pairs:
+            for r in (c["low"], c["high"]):
+                lines.append(
+                    f"| {r['cpus']} | {r['n_samples']} | "
+                    f"{r['median_urls_per_sec']} | "
+                    f"{r['best_urls_per_sec']} | {r['jobs_per_epoch']} |"
+                )
+        for c in pairs:
+            lines += [
+                "",
+                f"**scaling efficiency {c['n_low']}→{c['n_high']} cores: "
+                f"{c['efficiency']}** (median-based; best-run-based: "
+                f"{c['efficiency_best']}; target ≥ 0.8; efficiency = "
+                "(thr_4N/thr_N)/(4N/N)). Machine ceiling over the same "
+                f"pair — an *embarrassingly-parallel* JVM job "
+                f"(range→xxhash64→sum, no shuffle, no Python) in the same "
+                f"sessions — is **{c['machine_ceiling_efficiency']}**; "
+                f"the crawl relative to that ceiling: "
+                f"**{c['efficiency_vs_ceiling']}**.",
+            ]
         lines += [
             "",
-            f"**scaling efficiency {c['n_low']}→{c['n_high']} cores: "
-            f"{c['efficiency']}** (median-based; best-run-based: "
-            f"{c['efficiency_best']}; target ≥ 0.8; efficiency = "
-            "(thr_4N/thr_N)/(4N/N))",
-            "",
-            f"Machine context: this sandbox is a shared Firecracker VM; an "
-            f"*embarrassingly-parallel* JVM job (range→xxhash64→sum, no "
-            f"shuffle, no Python) measured in the same sessions scales "
-            f"{c['n_low']}→{c['n_high']} cores at efficiency "
-            f"**{c['machine_ceiling_efficiency']}** — the box's ceiling. "
-            f"The crawl's efficiency relative to that ceiling is "
-            f"**{c['efficiency_vs_ceiling']}**. On real dedicated "
-            f"executors the ceiling is ~1.0 and the crawl's partitioning "
-            f"(uniform url-hash bloom shards, per-host top-k prefix, "
-            f"parallel snapshot writes) carries its relative efficiency.",
+            "On real dedicated executors the ceiling is ~1.0 and the "
+            "crawl's partitioning (uniform url-hash bloom shards, per-host "
+            "top-k prefix, parallel snapshot writes) carries its relative "
+            "efficiency.",
             "",
         ]
         if len(history) > 1:
+            h0 = history[-1]
             lines += [
-                "Cross-session record (same methodology, "
-                "`BENCH/history.jsonl`): absolute throughput at each core "
-                "count tracks code changes; the efficiency ratio moves "
-                "with host steal between sessions.",
+                "Cross-session record (matching methodology only — world "
+                f"fingerprint {h0.get('world')} and pair {h0.get('pair')}; "
+                f"{n_legacy} rows with other/unrecorded methodologies "
+                "excluded; `BENCH/history.jsonl`): absolute throughput at "
+                "each core count tracks code changes; the efficiency ratio "
+                "moves with host steal between sessions.",
                 "",
-                "| session | 4-core median | 16-core median | efficiency "
+                "| session | git | low median | high median | efficiency "
                 "| box ceiling | vs ceiling |",
-                "|---|---|---|---|---|---|",
+                "|---|---|---|---|---|---|---|",
             ]
             for i, h in enumerate(history, 1):
                 lines.append(
-                    f"| {i} | {h['low_median']} | {h['high_median']} | "
+                    f"| {i} | {h.get('git') or '?'} | {h['low_median']} | "
+                    f"{h['high_median']} | "
                     f"{h['efficiency']} | {h['ceiling']} | "
                     f"{h['vs_ceiling']} |"
                 )
@@ -423,47 +463,59 @@ def main() -> None:
                 ),
             }
 
-        # INTERLEAVE the two core counts (low,high,low,high,...): host
-        # steal on this shared VM drifts over minutes, so sampling all-N
-        # then all-4N would let a steal episode land entirely on one side
-        # and bias the ratio; alternating spreads it over both
-        low_runs, high_runs = [], []
-        for _ in range(n_runs):
-            low_runs.append(crawl_bench_subprocess(n_low, **kw))
-            high_runs.append(crawl_bench_subprocess(n_high, **kw))
-        low = summarize(n_low, low_runs)
-        high = summarize(n_high, high_runs)
-        eff = (high["median_urls_per_sec"] / low["median_urls_per_sec"]) / (
-            n_high / n_low
+        def run_pair(a: int, b: int, k: int) -> dict:
+            """k interleaved fresh-JVM runs at each of two core counts.
+
+            INTERLEAVED (a,b,a,b,...): host steal on this shared VM drifts
+            over minutes, so sampling all-N then all-4N would let a steal
+            episode land entirely on one side and bias the ratio."""
+            a_runs, b_runs = [], []
+            for _ in range(k):
+                a_runs.append(crawl_bench_subprocess(a, **kw))
+                b_runs.append(crawl_bench_subprocess(b, **kw))
+            low, high = summarize(a, a_runs), summarize(b, b_runs)
+            eff = (high["median_urls_per_sec"] / low["median_urls_per_sec"]) / (b / a)
+            eff_best = (
+                high["best_urls_per_sec"] / low["best_urls_per_sec"]
+            ) / (b / a)
+            # same-methodology machine ceiling: how well a PERFECT parallel
+            # job scales across the same two core counts on this box now
+            ceil_eff = (
+                high["median_jvm_ceiling"] / low["median_jvm_ceiling"]
+            ) / (b / a)
+            return {
+                "low": low,
+                "high": high,
+                "n_low": a,
+                "n_high": b,
+                "n_runs": k,
+                "epochs_per_run": epochs_per_run,
+                "world": {kk: kw[kk] for kk in
+                          ("n_pages", "n_hosts", "n_seeds", "max_epochs")},
+                "efficiency": round(eff, 3),
+                "efficiency_best": round(eff_best, 3),
+                "machine_ceiling_efficiency": round(ceil_eff, 3),
+                "efficiency_vs_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
+                "peak_urls_per_sec": max(
+                    low["best_urls_per_sec"], high["best_urls_per_sec"]
+                ),
+                "peak_measured_at_cores": (
+                    a if low["best_urls_per_sec"] >= high["best_urls_per_sec"]
+                    else b
+                ),
+            }
+
+        # Two scaling pairs: 4→16 (the physical-core regime — local[32]
+        # lands in SMT oversubscription where even the perfect JVM job
+        # scales negatively here) and the driver's own spec'd example
+        # 8→32 (BASELINE.md §2). Both use the same median-of-per-epoch
+        # methodology + same-session machine ceiling.
+        n_runs_2 = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_PAIR2",
+                                      str(max(2, n_runs - 1))))
+        result["crawl"] = run_pair(n_low, n_high, n_runs)
+        result["crawl_pair_8_32"] = run_pair(
+            2 * n_low, 2 * n_high, n_runs_2
         )
-        eff_best = (high["best_urls_per_sec"] / low["best_urls_per_sec"]) / (
-            n_high / n_low
-        )
-        # same-methodology machine ceiling: how well a PERFECT parallel job
-        # scales across the same two core counts on this box right now
-        ceil_eff = (
-            high["median_jvm_ceiling"] / low["median_jvm_ceiling"]
-        ) / (n_high / n_low)
-        result["crawl"] = {
-            "low": low,
-            "high": high,
-            "n_low": n_low,
-            "n_high": n_high,
-            "n_runs": n_runs,
-            "epochs_per_run": epochs_per_run,
-            "efficiency": round(eff, 3),
-            "efficiency_best": round(eff_best, 3),
-            "machine_ceiling_efficiency": round(ceil_eff, 3),
-            "efficiency_vs_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
-            "peak_urls_per_sec": max(
-                low["best_urls_per_sec"], high["best_urls_per_sec"]
-            ),
-            "peak_measured_at_cores": (
-                n_low
-                if low["best_urls_per_sec"] >= high["best_urls_per_sec"]
-                else n_high
-            ),
-        }
 
     write_report(result)
     print(json.dumps(result))

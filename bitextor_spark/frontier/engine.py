@@ -466,16 +466,6 @@ class FrontierEngine:
             latest.filter(F.col("state") == "QUEUED")
         )
 
-    def _frontier_urls(self, latest: DataFrame | None = _AUTO) -> DataFrame:
-        """Every url_hash ever admitted (any version proves presence, so
-        the latest delta versions stand in for the whole delta log)."""
-        if latest is FrontierEngine._AUTO:
-            latest = self._delta_latest()
-        base = self._load("frontier").select("url_hash")
-        if latest is None:
-            return base
-        return base.unionByName(latest.select("url_hash"))
-
     def _base_urls(self) -> DataFrame:
         """url_hash set of the frontier BASE, hash-partitioned + sorted +
         persisted ACROSS epochs — the base is immutable between

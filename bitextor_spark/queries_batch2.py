@@ -559,7 +559,7 @@ def o4_range_batching(spark, sf_dir):
 @q(
     "t5_unpaired_docs",
     f"""
-    WITH pairs AS ({_simhash_pairs_sql(max_dist=2)})
+    WITH pairs AS ({_simhash_pairs_sql(bits=60, max_dist=2)})
     SELECT doc_id FROM documents
     EXCEPT
     (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs)
@@ -569,7 +569,10 @@ def t5_unpaired_docs(spark, sf_dir):
     from bitextor_spark.operators import dedup as D
 
     docs = T(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs(docs, "doc_id", "text", bits=32, max_dist=2)
+    # 60-bit/d=2 → three exactly-20-bit pigeonhole blocks (1M values per
+    # block key): bucket sizes stay ~n/2^20 at web scale, same scale-safe
+    # config family as the checked flagship (60-bit/d=4)
+    pairs = D.simhash_pairs(docs, "doc_id", "text", bits=60, max_dist=2)
     paired = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

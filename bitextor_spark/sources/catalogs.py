@@ -156,9 +156,13 @@ class TableCatalog:
                 entry["paths"] = list(entry["paths"]) + [ident]
                 tables[name] = entry
 
+        # drop = manifest-entry removal ONLY (FS-catalog parity): the
+        # backing tables survive as unreferenced orphans, so (a) a crash
+        # before the __commits__ append below leaves the previous snapshot
+        # fully readable, and (b) read(snapshot_id=older) time travel keeps
+        # working. Storage reclamation is gc_unreferenced(), post-publish.
         for name in drop or []:
-            for ident in tables.pop(name, {}).get("paths", []):
-                self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            tables.pop(name, None)
 
         meta_val = (meta() if callable(meta) else meta) or {}
         schema = T.StructType([
@@ -175,6 +179,28 @@ class TableCatalog:
         ).coalesce(1)
         self._append_commit_row(row)  # the commit point
         return snap_id
+
+    def gc_unreferenced(self) -> list[str]:
+        """Post-publish GC: physically drop catalog tables no manifest in
+        history references. Safe at any time — runs strictly after commit
+        publication, so a crash mid-GC only leaves fewer orphans."""
+        c = self._commits()
+        if c is None:
+            return []
+        referenced: set[str] = set()
+        for r in c.select("tables").collect():
+            for entry in json.loads(r.tables).values():
+                referenced.update(entry["paths"])
+        dropped = []
+        prefix = f"{self.ns}."
+        for t in self.spark.catalog.listTables(self.ns):
+            ident = f"{self.ns}.{t.name}"
+            if t.name == "__commits__" or ident in referenced:
+                continue
+            if ident.startswith(prefix) and "__" in t.name:
+                self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+                dropped.append(ident)
+        return dropped
 
     # -- read ----------------------------------------------------------------
 
@@ -194,11 +220,14 @@ class TableCatalog:
             df = df.unionByName(p, allowMissingColumns=True)
         if schema:
             # parity with the FS catalog's explicit-schema parquet read:
-            # exactly the requested fields, missing ones as typed NULLs
+            # exactly the requested fields AND types — existing columns are
+            # cast (so a drifted backend type, e.g. int vs bigint, cannot
+            # silently diverge from FS-read semantics), missing ones are
+            # typed NULLs
             want = T._parse_datatype_string(schema)
             have = set(df.columns)
             df = df.select(*[
-                F.col(f.name) if f.name in have
+                F.col(f.name).cast(f.dataType).alias(f.name) if f.name in have
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in want.fields
             ])

@@ -135,3 +135,45 @@ def test_iceberg_catalog_parity(spark, fs_run, no_aqe):
         assert _log_tuples(eng) == _log_tuples(fs_run)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_table_catalog_drop_keeps_time_travel(spark):
+    """`drop` is manifest-entry removal only (FS-catalog parity): older
+    snapshots keep reading the dropped table's data, and a crash between
+    the commit's writes and the __commits__ append can never orphan the
+    LATEST manifest. gc_unreferenced() reclaims storage post-publish."""
+    cat = TableCatalog(spark, "swap_droptt")
+    try:
+        df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+        s0 = cat.commit(append={"delta": df1})
+        s1 = cat.commit(replace={"other": spark.range(3).selectExpr("id")},
+                        drop=["delta"])
+        # latest manifest no longer lists it ...
+        assert cat.read(spark, "delta") is None
+        # ... but time travel to the pre-drop snapshot still reads the data
+        tt = cat.read(spark, "delta", snapshot_id=s0)
+        assert tt is not None and tt.count() == 5
+        # post-publish GC physically drops only unreferenced tables: the
+        # dropped delta is still referenced by snapshot s0's manifest
+        assert cat.gc_unreferenced() == []
+        assert cat.read(spark, "delta", snapshot_id=s0).count() == 5
+        assert cat.read(spark, "other", snapshot_id=s1).count() == 3
+    finally:
+        _drop_namespace(spark, "swap_droptt")
+
+
+def test_table_catalog_read_casts_drifted_types(spark):
+    """read(schema=...) casts EXISTING columns to the requested types, so a
+    backend table with a drifted column type cannot silently diverge from
+    the FS catalog's explicit-schema parquet read."""
+    cat = TableCatalog(spark, "swap_cast")
+    try:
+        cat.commit(replace={"t": spark.range(4).selectExpr(
+            "CAST(id AS INT) AS a", "CAST(id AS STRING) AS b")})
+        got = cat.read(spark, "t", schema="a bigint, b string, c double")
+        assert [f.dataType.simpleString() for f in got.schema.fields] == [
+            "bigint", "string", "double"
+        ]
+        assert got.count() == 4
+    finally:
+        _drop_namespace(spark, "swap_cast")

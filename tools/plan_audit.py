@@ -52,17 +52,23 @@ def audit(sf_dir: str, cpus: int) -> list[dict]:
             qe = df._jdf.queryExecution()
             # simple-mode string: `*(n)` markers carry the codegen stage id
             plan = qe.executedPlan().toString()
-            try:
-                formatted = df._sc._jvm.PythonSQLUtils.explainString(
-                    qe, "formatted"
-                )
-            except Exception:
-                mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
-                formatted = qe.explainString(mode.fromString("formatted"))
         except Exception as ex:  # audit must not abort on one query
             rows.append({"name": name, "cross": "?", "pushed": "?",
                          "codegen": "?", "note": f"ERROR {ex}"[:80]})
             continue
+        # formatted explain is best-effort only: a query that EXECUTED fine
+        # must not be marked ERROR because an explain API threw — fall back
+        # to the simple plan string already captured
+        try:
+            formatted = df._sc._jvm.PythonSQLUtils.explainString(
+                qe, "formatted"
+            )
+        except Exception:
+            try:
+                mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+                formatted = qe.explainString(mode.fromString("formatted"))
+            except Exception:
+                formatted = plan
         cross = bool(re.search(
             r"CartesianProduct|BroadcastNestedLoopJoin", plan))
         pushed = bool(re.search(r"PushedFilters: \[[^\]]",
