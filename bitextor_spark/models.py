@@ -33,6 +33,10 @@ import pickle
 
 import numpy as np
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+DEFAULT_RERANK_PKL = os.path.join(_DATA_DIR, "rerank_model.pkl")
+DEFAULT_LANGID_TSV = os.path.join(_DATA_DIR, "langid_profile.tsv")
+
 
 class FixedLogisticRerank:
     """Default W2 stand-in: fixed-weight logistic over (z_chars, tok_ratio).
@@ -52,14 +56,49 @@ class FixedLogisticRerank:
         return np.column_stack([1.0 - p1, p1])
 
 
+class TrainedLogisticRerank:
+    """The committed default W2 artifact: a logistic-regression classifier
+    TRAINED by tools/train_rerank.py (numpy gradient descent on a seeded
+    synthetic ranking-quality set) and pickled to data/rerank_model.pkl —
+    the same artifact lifecycle as the reference's shipped SVM
+    (/root/reference/bitextor/data/model/docalign.svm.classifier loaded in
+    bitextor/docalign/bitextor_rank.py:22-41). Exposes the sklearn
+    ``predict_proba`` API plus ``coef_``/``intercept_`` so the DuckDB
+    oracle can replay the learned weights bit-for-bit."""
+
+    def __init__(self, coef, intercept: float):
+        self.coef_ = np.asarray(coef, dtype=np.float64)
+        self.intercept_ = float(intercept)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
+        p1 = 1.0 / (1.0 + np.exp(-z))
+        return np.column_stack([1.0 - p1, p1])
+
+
 def load_rerank_model(path: str | None = None):
     """W2 model artifact: pickle at `path` (or $BITEXTOR_SPARK_RERANK_MODEL),
-    else the deterministic default the oracle replays."""
+    else the committed trained default (data/rerank_model.pkl), else the
+    deterministic fixed-weight stand-in. Every branch is oracle-replayable
+    via linear_rerank_params."""
     path = path or os.environ.get("BITEXTOR_SPARK_RERANK_MODEL")
     if not path:
-        return FixedLogisticRerank()
+        if os.path.exists(DEFAULT_RERANK_PKL):
+            path = DEFAULT_RERANK_PKL
+        else:
+            return FixedLogisticRerank()
     with open(path, "rb") as fh:
         return pickle.load(fh)
+
+
+def linear_rerank_params(model) -> tuple[float, float, float] | None:
+    """(w_z, w_tok, intercept) for oracle replay of linear-logistic models;
+    None for opaque artifacts (env-pointed real SVMs etc.)."""
+    if isinstance(model, TrainedLogisticRerank):
+        return float(model.coef_[0]), float(model.coef_[1]), model.intercept_
+    if isinstance(model, FixedLogisticRerank):
+        return model.w_z, model.w_tok, 0.0
+    return None
 
 
 def rerank_scores(model, X: np.ndarray) -> np.ndarray:
@@ -75,15 +114,20 @@ def load_langid_profile(
     default: dict[str, tuple[str, ...]] | None = None,
 ) -> list[tuple[str, str]]:
     """P7 profile rows (lang, trigram): tsv at `path` (or
-    $BITEXTOR_SPARK_LANGID_PROFILE), else the built-in default profile."""
+    $BITEXTOR_SPARK_LANGID_PROFILE), else the committed corpus-derived
+    default (data/langid_profile.tsv, built by tools/build_langid_profile
+    from the per-language seed corpora), else the built-in fallback dict."""
     path = path or os.environ.get("BITEXTOR_SPARK_LANGID_PROFILE")
     if not path:
-        assert default is not None
-        return [
-            (lang, t)
-            for lang, tris in sorted(default.items())
-            for t in tris
-        ]
+        if os.path.exists(DEFAULT_LANGID_TSV):
+            path = DEFAULT_LANGID_TSV
+        else:
+            assert default is not None
+            return [
+                (lang, t)
+                for lang, tris in sorted(default.items())
+                for t in tris
+            ]
     rows: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as fh:
         for line in fh:

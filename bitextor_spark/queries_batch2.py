@@ -93,16 +93,24 @@ def a5_dedup_best_group(spark, sf_dir):
 # W2 — grouped-map re-rank (applyInPandas), logistic scorer
 # =========================================================================
 
-@q(
-    "w2_rerank_groups",
-    f"""
+def _w2_oracle_sql() -> str:
+    """Replay the DEFAULT rerank artifact's learned weights in SQL: the
+    committed artifact is a trained linear-logistic pickle, so the oracle
+    is sigmoid(w0*z + w1*tok + b) with the pickle's exact coefficients."""
+    from bitextor_spark.models import linear_rerank_params, load_rerank_model
+
+    params = linear_rerank_params(load_rerank_model())
+    assert params is not None, "default rerank artifact must be replayable"
+    w0, w1, b = params
+    return f"""
     WITH d AS (SELECT doc_id, source, n_chars,
                       CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tok
                FROM documents),
     m AS (SELECT source, avg(n_chars) AS mu FROM d GROUP BY source),
     s AS (SELECT doc_id, d.source,
-                 round(1.0 / (1.0 + exp(-(1.5 * (n_chars - mu) / 1000.0
-                                          + 0.5 * n_tok / 100.0))), 4) AS score
+                 round(1.0 / (1.0 + exp(-({w0!r} * (n_chars - mu) / 1000.0
+                                          + {w1!r} * n_tok / 100.0
+                                          + {b!r}))), 4) AS score
           FROM d JOIN m USING (source))
     SELECT doc_id, source, score, rnk FROM (
       SELECT doc_id, source, score,
@@ -110,14 +118,17 @@ def a5_dedup_best_group(spark, sf_dir):
                                 ORDER BY score DESC, doc_id) AS rnk
       FROM s)
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@q("w2_rerank_groups", _w2_oracle_sql())
 def w2_rerank_groups(spark, sf_dir):
     """Per-group model re-rank: the SVM predict_proba → sort → threshold
     shape of bitextor_rank.py:22-79. The model is a pluggable artifact
-    (models.load_rerank_model — sklearn predict_proba API); the default is
-    a fixed-weight logistic so the oracle can replay it. Grouped-map
-    pandas UDF (Arrow batches)."""
+    (models.load_rerank_model — sklearn predict_proba API); the committed
+    default is the TRAINED logistic pickle from tools/train_rerank.py,
+    whose learned weights the oracle replays. Grouped-map pandas UDF
+    (Arrow batches)."""
     from bitextor_spark.models import load_rerank_model, rerank_scores
 
     model = load_rerank_model()

@@ -472,10 +472,13 @@ _LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 
 
 def _langid_profile_sql() -> str:
+    """VALUES-join oracle over the SAME profile rows the query loads —
+    the committed corpus-derived 17-language artifact by default."""
+    from bitextor_spark.models import load_langid_profile
+
     values = ", ".join(
         f"('{lang}', '{t}')"
-        for lang, tris in sorted(_LANG_TRIGRAMS.items())
-        for t in tris
+        for lang, t in load_langid_profile(default=_LANG_TRIGRAMS)
     )
     return f"""
     WITH prof(lang, tri) AS (VALUES {values}),
@@ -504,8 +507,11 @@ def _langid_profile_sql() -> str:
 @q("p7_langid_trigram", _langid_profile_sql())
 def p7_langid_trigram(spark, sf_dir):
     # profile is a pluggable artifact (models.load_langid_profile — a
-    # cld2/cld3-style exported table); default = the built-in trigrams
-    # the oracle SQL replays
+    # cld2/cld3-style exported table); the committed default is the
+    # 17-language corpus-derived profile (tools/build_langid_profile.py),
+    # which the oracle SQL replays row-for-row. At 816 rows it takes the
+    # broadcast-join path below; a small env-pointed profile (or the
+    # built-in fallback) takes the shuffle-free codegen path.
     from bitextor_spark.models import load_langid_profile
 
     rows = load_langid_profile(default=_LANG_TRIGRAMS)
