@@ -44,13 +44,28 @@ def greedy_one_to_one(pairs: DataFrame) -> DataFrame:
     return pairs.sparkSession.createDataFrame(swept, schema)
 
 
-def mutually_best_converge(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def mutually_best_converge(
+    pairs: DataFrame, max_iters: int = 40, strict: bool = True
+) -> DataFrame:
     """Iteratively keep mutually-best (src,trg) pairs, remove matched docs,
-    repeat until fixpoint — align_documents' converge mode, distributed."""
-    # localCheckpoint each round: the iterative anti-join otherwise doubles
-    # the logical plan every iteration (unbounded lineage growth)
+    repeat until fixpoint — align_documents' converge mode, distributed.
+
+    Convergence is EXPLICIT: the loop runs until no mutually-best pair
+    remains (the fixpoint — every iteration removes at least the globally
+    best remaining pair, so it terminates; with deterministic tiebreaks
+    each round typically clears a constant fraction, i.e. O(log n) rounds
+    in practice). ``max_iters`` is a safety bound only: hitting it with
+    work remaining raises under ``strict`` (default) instead of silently
+    returning a partial matching; ``strict=False`` returns the partial
+    result for callers that want best-effort under a round budget.
+
+    Per-round driver cost is one job: the eager ``localCheckpoint``
+    materializes ``mutual``, and the emptiness probe counts the already-
+    cached partitions (no recompute); ``remaining``'s checkpoint bounds
+    the anti-join lineage that would otherwise double per round."""
     remaining = pairs.select("src", "trg", "score").localCheckpoint()
     matched = None
+    converged = False
     for _ in range(max_iters):
         w_src = Window.partitionBy("src").orderBy(F.col("score").desc(), "trg")
         w_trg = Window.partitionBy("trg").orderBy(F.col("score").desc(), "src")
@@ -61,12 +76,21 @@ def mutually_best_converge(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             "src", "trg", "score"
         ).localCheckpoint()
         if mutual.count() == 0:
+            converged = True
             break
         matched = mutual if matched is None else matched.unionByName(mutual)
         remaining = (
             remaining.join(mutual.select("src"), "src", "left_anti")
             .join(mutual.select("trg"), "trg", "left_anti")
         ).localCheckpoint()
+    if not converged and remaining.isEmpty():
+        converged = True  # last round matched everything
+    if not converged and strict:
+        raise RuntimeError(
+            f"mutually_best_converge: fixpoint not reached within "
+            f"{max_iters} iterations ({remaining.count()} pairs unresolved); "
+            f"raise max_iters or pass strict=False for a partial matching"
+        )
     if matched is None:
         return pairs.select("src", "trg", "score").limit(0)
     return matched

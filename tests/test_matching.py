@@ -53,3 +53,34 @@ def test_converge_is_one_to_one_and_stable(spark, pairs_df):
     got = {(r.src, r.trg) for r in rows}
     assert (3, 10) in got
     assert (5, 14) in got
+
+
+def test_converge_adversarial_chain_explicit_convergence(spark):
+    """Adversarial long-chain score matrix: each round's mutual-best set is
+    a SINGLE pair ((k,k) unlocks only after (k-1,k-1) is removed), forcing
+    n iterations for n matches. The fixpoint must be reached explicitly —
+    and an insufficient round budget must raise, not silently truncate."""
+    import pytest as _pytest
+
+    from bitextor_spark.operators.matching import mutually_best_converge
+
+    n = 12
+    rows = []
+    for i in range(1, n + 1):
+        rows.append((i, i, 100.0 - 2 * i))            # (i,i)
+        if i < n:
+            rows.append((i + 1, i, 100.0 - 2 * i - 1))  # (i+1,i) decoy
+    pairs = spark.createDataFrame(rows, "src bigint, trg bigint, score double")
+
+    got = mutually_best_converge(pairs, max_iters=n + 2)
+    assert sorted((r.src, r.trg) for r in got.collect()) == [
+        (i, i) for i in range(1, n + 1)
+    ]
+
+    with _pytest.raises(RuntimeError, match="fixpoint not reached"):
+        mutually_best_converge(pairs, max_iters=3)
+
+    partial = mutually_best_converge(pairs, max_iters=3, strict=False)
+    assert sorted((r.src, r.trg) for r in partial.collect()) == [
+        (1, 1), (2, 2), (3, 3)
+    ]
