@@ -43,7 +43,7 @@ from bitextor_spark.config import CrawlConfig
 from bitextor_spark.frontier import seen as seen_mod
 from bitextor_spark.frontier.politeness import schedule_host_arrays
 from bitextor_spark.plans.scope import apply_scope
-from bitextor_spark.plans.topk import per_key_topk
+from bitextor_spark.plans.topk import per_key_topk_passthrough
 from bitextor_spark.functions.urls import (
     canonicalize_full_udf,
     resolve_outlinks_arr_udf,
@@ -62,6 +62,10 @@ EVENT_SCHEMA = (
     "not_before_ms long, discovered_epoch int"
 )
 HOST_STATE_SCHEMA = "host string, next_allowed_ms long"
+# max over-k_cap hosts handled via the driver-side isin prefix filter; more
+# than this falls back to the full skew-proof per-host rank (bounded driver
+# memory, same discipline as the delta broadcast gate)
+_HOT_HOST_GATE = 1024
 ROBOTS_STATE_SCHEMA = "host string, crawl_delay_s int, fetched_ms long"
 METRIC_COLS = ("fetched", "errors", "skipped_seen", "skipped_scope", "queued")
 
@@ -134,13 +138,20 @@ class FrontierEngine:
         # wave in Arrow batches when verify_payloads is on (M4 invariant)
         self.images = images.cache() if images is not None else None
         self.verify_payloads = verify_payloads and images is not None
-        # pages is the fetch target: co-partition once by url_canon so the
-        # per-epoch fetch join is a local join against this cached layout.
-        self.pages = pages.repartition(
-            spark.conf.get("spark.sql.shuffle.partitions", None) and
-            int(spark.conf.get("spark.sql.shuffle.partitions")) or 32,
-            "url_canon",
-        ).cache()
+        # pages is the fetch target: co-partition AND co-sort once by
+        # url_canon so the per-epoch fetch/discovery sort-merge joins reuse
+        # this cached layout — no exchange and no re-sort of the (static,
+        # world-sized) pages side per epoch; only the O(candidates) probe
+        # side shuffles.
+        self.pages = (
+            pages.repartition(
+                spark.conf.get("spark.sql.shuffle.partitions", None) and
+                int(spark.conf.get("spark.sql.shuffle.partitions")) or 32,
+                "url_canon",
+            )
+            .sortWithinPartitions("url_canon")
+            .cache()
+        )
         self._is_local = spark.sparkContext.master.startswith("local")
         self._epoch_pins: list[DataFrame] = []
 
@@ -455,7 +466,7 @@ class FrontierEngine:
         are monotone), so base QUEUED rows minus changed keys is exact."""
         if latest is FrontierEngine._AUTO:
             latest = self._delta_latest()
-        q = self._load("frontier").filter(F.col("state") == "QUEUED")
+        q = self._queued_base()
         if latest is None:
             return q
         unchanged = q.join(
@@ -465,6 +476,39 @@ class FrontierEngine:
         return unchanged.unionByName(
             latest.filter(F.col("state") == "QUEUED")
         )
+
+    def _queued_base(self) -> DataFrame:
+        """Base-frontier QUEUED rows, hash-partitioned + sorted on
+        URL_CANON and persisted ACROSS epochs (same invalidation key as
+        _base_urls): the base is immutable between compactions, so the
+        epoch's candidate DAG must not pay an O(frontier) exchange every
+        epoch. The layout key is url_canon — the SAME key the (static,
+        cached) pages table is laid out on — so the per-epoch fetch join
+        is exchange-free and sort-free on BOTH sides; the delta anti-join
+        on url_hash rides the broadcast hint (delta_broadcast_rows gate),
+        which preserves this layout. Past the gate (compaction-overdue
+        delta backlog) it degrades to one shuffle — the regime compaction
+        resets. Recomputable lineage (persist, not checkpoint)."""
+        m = self.catalog.load_manifest()
+        key = tuple(m["tables"]["frontier"]["paths"]) if m else None
+        cached: tuple | None = getattr(self, "_queued_base_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        df = (
+            self._load("frontier")
+            .filter(F.col("state") == "QUEUED")
+            .repartition(n, "url_canon")
+            .sortWithinPartitions("url_canon")
+            .persist()
+        )
+        self._queued_base_cache = (key, df)
+        return df
 
     def _base_urls(self) -> DataFrame:
         """url_hash set of the frontier BASE, hash-partitioned + sorted +
@@ -611,17 +655,56 @@ class FrontierEngine:
         latest = self._delta_latest()
         if latest is not None:
             latest = self._pin(latest)
+        mark('pin_delta')
 
-        # not_before/priority filter AFTER the latest-wins merge: a retry
-        # bump raises not_before, and pre-filtering could drop the latest
-        # version while an older, earlier-scheduled one survives
-        queued = self._queued_view(latest).filter(
-            F.col("not_before_ms") < epoch_end
-        ).drop("updated_epoch")
+        # not_before/priority filters run AFTER the latest-wins merge (a
+        # retry bump raises not_before; pre-merge filtering could drop the
+        # latest version while an older, earlier-scheduled one survives) —
+        # here per SIDE of the merge, which is equivalent: base-side rows
+        # that survive the anti-join ARE their own latest version, and the
+        # delta side filters its latest-wins output. The fetch resolve
+        # (pages join) also runs per side, BEFORE the union: the base side
+        # shares the pages cache's url_canon layout, so the frontier-sized
+        # join side pays NO exchange and NO sort — only the O(delta) side
+        # shuffles into the pages layout.
         priority_mode = cfg.queue_order == "priority"
-        if priority_mode:
-            # precedence floor (C10): below-floor cash never schedules
-            queued = queued.filter(F.col("priority") >= cfg.priority_floor)
+
+        def prep(side: DataFrame) -> DataFrame:
+            side = side.filter(F.col("not_before_ms") < epoch_end)
+            if priority_mode:
+                # precedence floor (C10): below-floor cash never schedules
+                side = side.filter(F.col("priority") >= cfg.priority_floor)
+            if "updated_epoch" in side.columns:
+                side = side.drop("updated_epoch")
+            return side.join(
+                self.pages.select(
+                    "url_canon",
+                    F.col("status").alias("page_status"),
+                    F.col("fetch_ms").alias("page_fetch_ms"),
+                ),
+                "url_canon",
+                "left",
+            )
+
+        qb = self._queued_base()
+        if latest is not None:
+            qb = qb.join(
+                self._delta_hint(latest.select("url_hash")),
+                "url_hash", "left_anti",
+            )
+        queued = prep(qb)
+        if latest is not None:
+            queued = queued.unionByName(
+                prep(latest.filter(F.col("state") == "QUEUED"))
+            )
+        queued = (
+            queued.withColumn("status", F.coalesce("page_status", F.lit(404)))
+            .withColumn(
+                "fetch_ms",
+                F.coalesce("page_fetch_ms", F.lit(cfg.default_fetch_ms)),
+            )
+            .drop("page_status", "page_fetch_ms")
+        )
 
         # --- robots freshness (TTL mode): refresh expired per-host caches
         # for this epoch's active hosts (hosts with schedulable work — the
@@ -647,30 +730,61 @@ class FrontierEngine:
             if priority_mode
             else [F.col("hop"), F.col("url_canon")]
         )
-        immediate = per_key_topk(
-            queued.filter(F.col("not_before_ms") <= epoch_start),
-            "host", order_cols, k_cap,
+        # The k_cap prefix truncates ONLY hosts holding more eligible rows
+        # than the cap — at web scale that is the mega-domain tail, not the
+        # typical host. Ranking everything costs two full exchanges of the
+        # queued set per epoch for a near-no-op, so the rank is gated: a
+        # narrow UPPER-BOUND count pass finds possibly-over-cap hosts and
+        # only THEIR rows pay the rank shuffle; every other host's rows
+        # pass through with no exchange at all. The bound reads only the
+        # cached base + pinned delta projections (no anti-join, no
+        # broadcast build, no pages join — a changed base row counts on
+        # both sides), so hot ⊇ true-hot always holds: a false positive
+        # ranks one extra host, a miss is impossible, and walk groups stay
+        # ≤ k_cap + blocked. Driver list bounded by _HOT_HOST_GATE (same
+        # discipline as delta_broadcast_rows); above it → the full
+        # skew-proof rank (correct at any skew shape).
+        bound_sides = self._queued_base().select("host", "not_before_ms")
+        if latest is not None:
+            bound_sides = bound_sides.unionByName(
+                latest.filter(F.col("state") == "QUEUED")
+                .select("host", "not_before_ms")
+            )
+        hot_df = (
+            bound_sides.filter(F.col("not_before_ms") <= epoch_start)
+            .groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > k_cap).select("host")
         )
-        blocked = queued.filter(F.col("not_before_ms") > epoch_start)
-        cand = immediate.unionByName(blocked)
+        # count-then-collect (NOT limit().collect(): CollectLimit executes
+        # as incremental scale-up jobs — 5+ jobs for an empty result)
+        n_hot = hot_df.count()
+        mark('topk_gate')
+        blocked_col = F.col("not_before_ms") > epoch_start
+        if n_hot == 0:
+            # no host can exceed the cap: the whole queued set flows to
+            # the walk in ONE consumption, no rank, no union
+            cand = queued
+        elif n_hot > _HOT_HOST_GATE:
+            cand = per_key_topk_passthrough(
+                queued, "host", order_cols, k_cap, blocked_col
+            )
+        else:
+            # hot side first: the isin predicate pushes into the cached
+            # base scan, so the second consumption of `queued` touches
+            # only the hot hosts' rows
+            hot_hosts = [r.host for r in hot_df.collect()]
+            cand = queued.filter(
+                ~F.col("host").isin(hot_hosts)
+            ).unionByName(
+                per_key_topk_passthrough(
+                    queued.filter(F.col("host").isin(hot_hosts)),
+                    "host", order_cols, k_cap, blocked_col,
+                )
+            )
 
-        # --- resolve against the web (synthetic fetch = join on url_canon) ---
+        # --- per-host state (fetch resolve already happened per side) ---
         cand = (
-            cand.join(
-                self.pages.select(
-                    "url_canon",
-                    F.col("status").alias("page_status"),
-                    F.col("fetch_ms").alias("page_fetch_ms"),
-                ),
-                "url_canon",
-                "left",
-            )
-            .withColumn("status", F.coalesce("page_status", F.lit(404)))
-            .withColumn(
-                "fetch_ms",
-                F.coalesce("page_fetch_ms", F.lit(cfg.default_fetch_ms)),
-            )
-            .drop("page_status", "page_fetch_ms")
+            cand
             # per-host state joins carry NO broadcast hint: at bench scale
             # AQE broadcasts them (exact runtime stats, 64 MB gate); at the
             # 10^8-host north-star they become shuffle joins on host — the

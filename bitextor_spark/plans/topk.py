@@ -35,3 +35,39 @@ def per_key_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def per_key_topk_passthrough(
+    df: DataFrame,
+    key: str,
+    order_cols: list[Column],
+    k: int,
+    passthrough: Column,
+) -> DataFrame:
+    """Top-k per key among rows where ``passthrough`` is false, plus ALL
+    rows where it is true — in ONE consumption of ``df`` (a filter+union
+    formulation would evaluate the upstream plan once per branch; Spark
+    does not CSE across union branches).
+
+    Ordering trick: ranking by (passthrough asc, *order_cols) places every
+    rankable row before every passthrough row within its key, so a
+    rankable row's row_number equals its rank among rankable rows alone;
+    passthrough rows are kept unconditionally. Same two-stage skew-proof
+    shape as per_key_topk."""
+    pt = passthrough.alias("_pt")
+    local = Window.partitionBy(key, "_inpart").orderBy(
+        F.col("_pt").asc(), *order_cols
+    )
+    survivors = (
+        df.withColumn("_pt", pt)
+        .withColumn("_inpart", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_pt") | (F.col("_lrn") <= k))
+        .drop("_lrn", "_inpart")
+    )
+    final = Window.partitionBy(key).orderBy(F.col("_pt").asc(), *order_cols)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_pt") | (F.col("_rn") <= k))
+        .drop("_rn", "_pt")
+    )
