@@ -3,10 +3,12 @@
 ``entry(spark)`` runs the flagship TF-IDF document-similarity join at
 sf0.001; ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data-pipeline operators); ``oracle_sql()`` gives the
-DuckDB twin for each SQL-expressible query. Non-SQL operators (greedy/
-converge matching, the crawl wave) omit the oracle → rows-only check; their
-exactness oracles are the pytest suites (reference crawl simulator parity,
-matching semantics tests).
+DuckDB twin for each query. Engine-output queries (crawl_wave,
+crawl_wave_priority, img_pipeline) pair with literal-VALUES oracles
+generated from the reference simulator / a pure-numpy recomputation
+(tools/build_fixtures.py), so the driver hash-checks the engine's exact
+crawl order. Only W3/W4 (greedy/converge matching) omit the oracle →
+rows-only check; their exactness oracles are the pytest suites.
 """
 
 from __future__ import annotations
