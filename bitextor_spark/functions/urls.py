@@ -235,12 +235,23 @@ def max_repetitions_udf(urls: pd.Series) -> pd.Series:
 # Links already in canonical shape skip the full parser: absolute http(s),
 # lowercase host without userinfo/port/www, plain path with no dot-segments,
 # duplicate slashes, query, fragment, or escapes. For such links
-# resolve_outlink(base, link) == link, so the fast path is exact.
+# resolve_outlink(base, link) == link, so the fast path is exact. Group 1
+# captures the host so the fast path also skips urlsplit.
 _CLEAN_ABS_RE = re.compile(
     r"^(?:http|https)://"
-    r"(?!www\d*\.)[a-z0-9-]+(?:\.[a-z0-9-]+)+"
+    r"((?!www\d*\.)[a-z0-9-]+(?:\.[a-z0-9-]+)+)"
     r"/(?:(?!\.)[A-Za-z0-9._~-]+/)*(?!\.)[A-Za-z0-9._~-]*$"
 )
+
+# registered_domain is a pure function of the host and hosts repeat heavily
+# across a crawl's outlinks (thousands of hosts vs millions of links per
+# epoch), so the PSL walk is memoized per executor process. Bounded cache:
+# at a 10^8-host frontier an unbounded dict would grow without limit.
+from functools import lru_cache as _lru_cache
+
+@_lru_cache(maxsize=1 << 17)
+def _reg_domain_cached(host: str) -> str:
+    return registered_domain(host)
 
 
 _RESOLVE_FULL_TYPE = StructType(
@@ -269,7 +280,7 @@ def resolve_outlink_full_udf(base: pd.Series, link: pd.Series) -> pd.DataFrame:
             for b, l in zip(base[slow], link_s[slow])
         ]
     host = canon.map(lambda u: host_of(u) if u else None)
-    reg = host.map(lambda h: registered_domain(h) if h else None)
+    reg = host.map(lambda h: _reg_domain_cached(h) if h else None)
     return pd.DataFrame({"url_canon": canon, "host": host, "reg_domain": reg})
 
 
@@ -278,7 +289,7 @@ def canonicalize_full_udf(urls: pd.Series) -> pd.DataFrame:
     """Fused canonicalize → host → registered-domain (seed bootstrap)."""
     canon = urls.map(canonicalize_url)
     host = canon.map(lambda u: host_of(u) if u else None)
-    reg = host.map(lambda h: registered_domain(h) if h else None)
+    reg = host.map(lambda h: _reg_domain_cached(h) if h else None)
     return pd.DataFrame({"url_canon": canon, "host": host, "reg_domain": reg})
 
 
@@ -298,6 +309,7 @@ def resolve_outlinks_arr_udf(base: pd.Series, links: pd.Series) -> pd.Series:
     graphs) skip the full parser via _CLEAN_ABS_RE."""
     out = []
     match = _CLEAN_ABS_RE.match
+    reg = _reg_domain_cached
     for b, ls in zip(base, links):
         if not b or ls is None or len(ls) == 0:
             out.append([])
@@ -308,12 +320,18 @@ def resolve_outlinks_arr_udf(base: pd.Series, links: pd.Series) -> pd.Series:
             link = (link or "").strip()
             if not link:
                 continue
-            canon = link if match(link) else resolve_outlink(b, link)
-            if canon is None or canon in seen:
+            m = match(link)
+            if m:
+                canon, h = link, m.group(1)  # no urlsplit on the fast path
+            else:
+                canon = resolve_outlink(b, link)
+                if canon is None:
+                    continue
+                h = host_of(canon)
+            if canon in seen:
                 continue
             seen.add(canon)
-            h = host_of(canon)
-            row.append((canon, h, registered_domain(h)))
+            row.append((canon, h, reg(h)))
         out.append(row)
     return pd.Series(out, dtype=object)
 
