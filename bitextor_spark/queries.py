@@ -38,6 +38,30 @@ from bitextor_spark.operators import tfidf as TF
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Machine-readable scale annotations: registry entries that are INTENTIONAL
+# small-input exactness baselines — correct, oracle-checked, and NOT the
+# plan to copy at 100 TB. Each names its scale-safe counterpart. Consumed
+# by tools/plan_audit.py (cross-join allowlist) and here for anyone
+# programmatically picking operators.
+SCALE_BASELINE_ONLY: dict[str, str] = {
+    "ann_cosine_topk": (
+        "brute-force cosine cartesian — exactness baseline; use "
+        "ann_lsh_bucketed or ann_ivf_topk at scale"
+    ),
+    "knn_label_vote": (
+        "inherits the brute-force cartesian — baseline; bucket the "
+        "candidate join (ann_lsh_bucketed pattern) at scale"
+    ),
+    "f5_levenshtein": (
+        "bounded 25x5 cross join by construction — never grows with input"
+    ),
+    "w3_greedy_match": (
+        "driver-local sequential greedy sweep (single sorted partition) — "
+        "the small-input exactness oracle; w4_converge_match is the "
+        "distributed operator of record, as in the reference"
+    ),
+}
+
 
 
 def ts_us(col) -> "F.Column":

@@ -21,14 +21,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-INTENTIONAL_CROSS = {
-    # documented exactness baselines / bounded cross ops (PLANS.md note)
-    "ann_cosine_topk": "cartesian: brute-force exactness baseline",
-    "ann_ivf_topk": "cartesian: 1-row corpus-size broadcast aggregate",
-    "knn_label_vote": "cartesian: inherits brute-force baseline",
-    "f5_levenshtein": "cartesian: bounded 25x5 cross",
-    "tfidf_similarity": "cartesian: 1-row corpus-size broadcast aggregate",
-}
+def _intentional_cross() -> dict[str, str]:
+    """Cross-join allowlist: the machine-readable baseline markers from the
+    registry (queries.SCALE_BASELINE_ONLY) plus the two scale-safe plans
+    whose only BNLJ is a 1-row corpus-size broadcast aggregate."""
+    from bitextor_spark.queries import SCALE_BASELINE_ONLY
+
+    out = {k: f"baseline-only: {v}" for k, v in SCALE_BASELINE_ONLY.items()}
+    out["ann_ivf_topk"] = "cartesian: 1-row corpus-size broadcast aggregate"
+    out["tfidf_similarity"] = "cartesian: 1-row corpus-size broadcast aggregate"
+    return out
 
 ENGINE_DRIVEN = {"crawl_wave", "crawl_wave_priority"}
 
@@ -37,6 +39,7 @@ def audit(sf_dir: str, cpus: int) -> list[dict]:
     import __spark_entry__ as entry
     from bitextor_spark.session import get_spark
 
+    INTENTIONAL_CROSS = _intentional_cross()
     spark = get_spark(app_name="plan-audit", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     rows = []
