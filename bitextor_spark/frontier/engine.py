@@ -155,14 +155,17 @@ class FrontierEngine:
         self._is_local = spark.sparkContext.master.startswith("local")
         self._epoch_pins: list[DataFrame] = []
 
-    def _pin(self, df: DataFrame) -> DataFrame:
+    def _pin(self, df: DataFrame, columnar: bool = False) -> DataFrame:
         """Eagerly materialize an epoch intermediate, tracked for cleanup.
 
-        local mode: localCheckpoint — eager, cheap, single-JVM-safe.
+        local mode: localCheckpoint — eager, cheap, single-JVM-safe —
+        unless ``columnar`` asks for a prunable cache (wide tables whose
+        consumers read few columns: the InMemoryRelation serves pruned
+        batches, an RDD checkpoint always deserializes full rows).
         Cluster mode: persist + count — keeps lineage, so executor loss or
         dynamic-allocation decommission recomputes instead of failing (a
         localCheckpoint block is unreplicated and non-recomputable)."""
-        if self._is_local:
+        if self._is_local and not columnar:
             out = df.localCheckpoint()
         else:
             out = df.persist()
@@ -651,10 +654,15 @@ class FrontierEngine:
         seed_domains = self._load("seed_domains")
 
         # one materialization of the delta-latest table per epoch (pinned,
-        # O(changes since compaction)); every MOR view this epoch reads it
+        # O(changes since compaction)); every MOR view this epoch reads it.
+        # persist (columnar cache), NOT localCheckpoint: most consumers of
+        # this wide table read 1-2 columns (the url_hash key set for the
+        # anti-joins/broadcast build, host+not_before for the hot-host
+        # bound) and an RDD-backed checkpoint cannot column-prune, while
+        # the InMemoryRelation serves pruned batches.
         latest = self._delta_latest()
         if latest is not None:
-            latest = self._pin(latest)
+            latest = self._pin(latest, columnar=True)
         mark('pin_delta')
 
         # not_before/priority filters run AFTER the latest-wins merge (a
