@@ -396,8 +396,12 @@ def write_report(result: dict) -> None:
             "Fixed cost per epoch is bounded by design: the engine runs a "
             "constant Spark-job count per epoch regardless of data volume "
             "(pinned intermediates, one single-row counter collect, "
-            "parallel commit writes + bloom update) — see the jobs/epoch "
-            "column, measured via per-epoch job groups.",
+            "parallel commit writes + bloom update, plus two narrow "
+            "hot-host gate jobs that replace two full exchanges of the "
+            "queued set) — see the jobs/epoch column, measured via "
+            "per-epoch job groups. Epoch phases in BENCH/last_run.json: "
+            "pin_delta + topk_gate + plan_candidates together are the "
+            "candidate phase (the former single plan_candidates mark).",
             "",
         ]
     if "dedup" in result:
