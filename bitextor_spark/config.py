@@ -58,6 +58,15 @@ class CrawlConfig:
     delay_factor: float = 5.0
     max_delay_ms: int = 30000
     respect_crawl_delay_up_to_s: int = 300
+    # per-host politeness overlay sheets (Heritrix sheet overlays applied
+    # to SURT prefixes — the shipped 'veryPolite' sheet,
+    # crawler-beans.cxml:469-480: delayFactor=10, minDelayMs=10000,
+    # maxDelayMs=1000000, respectCrawlDelayUpToSeconds=3600). Each rule is
+    # (host_suffix, delay_factor, min_delay_ms, max_delay_ms,
+    # respect_crawl_delay_up_to_s); a host matches a rule when it equals
+    # the suffix or ends with "."+suffix; the LONGEST matching suffix wins
+    # (SURT-prefix specificity). Empty = base knobs everywhere.
+    politeness_overlays: tuple[tuple[str, float, int, int, int], ...] = ()
 
     # scope
     max_hops: int = 20
@@ -152,18 +161,50 @@ class CrawlConfig:
 
     seed: int = 42
 
-    def effective_delay_ms(self, fetch_ms: int, crawl_delay_s: int) -> int:
+    def politeness_for(self, host: str) -> tuple[float, int, int, int]:
+        """Effective (delay_factor, min_delay_ms, max_delay_ms,
+        respect_crawl_delay_up_to_s) for a host: the longest-suffix overlay
+        sheet, else the base knobs. Pure function of (cfg, host) — shared
+        by the reference simulator and the engine's per-host walk, so an
+        overlay can never be an order-divergence source."""
+        best: tuple[str, float, int, int, int] | None = None
+        for rule in self.politeness_overlays:
+            suffix = rule[0]
+            if host == suffix or host.endswith("." + suffix):
+                if best is None or len(suffix) > len(best[0]):
+                    best = rule
+        if best is None:
+            return (self.delay_factor, self.min_delay_ms, self.max_delay_ms,
+                    self.respect_crawl_delay_up_to_s)
+        return best[1:]
+
+    def effective_delay_ms(
+        self,
+        fetch_ms: int,
+        crawl_delay_s: int,
+        politeness: tuple[float, int, int, int] | None = None,
+    ) -> int:
         """Politeness wait after a fetch on a host.
 
         clamp(delay_factor × duration, min, max), then raised to the robots
         Crawl-delay (itself capped at respect_crawl_delay_up_to_s). The
         max() rule is bitextor_wget.py:148-155; the clamp is
-        crawler-beans.cxml:362-368.
-        """
-        snooze = int(self.delay_factor * fetch_ms)
-        snooze = max(self.min_delay_ms, min(self.max_delay_ms, snooze))
-        capped_cd_ms = min(crawl_delay_s, self.respect_crawl_delay_up_to_s) * 1000
+        crawler-beans.cxml:362-368; `politeness` carries a host's overlay
+        knobs (politeness_for)."""
+        factor, mn, mx, cd_cap = politeness or (
+            self.delay_factor, self.min_delay_ms, self.max_delay_ms,
+            self.respect_crawl_delay_up_to_s,
+        )
+        snooze = int(factor * fetch_ms)
+        snooze = max(mn, min(mx, snooze))
+        capped_cd_ms = min(crawl_delay_s, cd_cap) * 1000
         return max(snooze, capped_cd_ms)
+
+
+# Heritrix's shipped 'veryPolite' overlay sheet values
+# (crawler-beans.cxml:471-480) — pair with a host suffix:
+#   CrawlConfig(politeness_overlays=(("slow.example.com",) + VERY_POLITE,))
+VERY_POLITE: tuple[float, int, int, int] = (10.0, 10_000, 1_000_000, 3600)
 
 
 @dataclass(frozen=True)

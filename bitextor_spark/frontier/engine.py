@@ -835,6 +835,7 @@ class FrontierEngine:
                 int(pdf["next_allowed_ms"].iloc[0]),
                 int(pdf["crawl_delay_s"].iloc[0]),
                 epoch_start, epoch_end, cfg,
+                politeness=cfg.politeness_for(host),
             )
             if picked.size == 0:
                 return pd.DataFrame(

@@ -68,6 +68,7 @@ def schedule_host(
     epoch_start_ms: int,
     epoch_end_ms: int,
     cfg: CrawlConfig,
+    politeness: tuple[float, int, int, int] | None = None,
 ) -> tuple[list[FetchEvent], int]:
     """Replay one host's fetches inside one epoch window.
 
@@ -105,7 +106,9 @@ def schedule_host(
                 start, e.fetch_ms, e.status, outcome,
             )
         )
-        cursor = start + e.fetch_ms + cfg.effective_delay_ms(e.fetch_ms, crawl_delay_s)
+        cursor = start + e.fetch_ms + cfg.effective_delay_ms(
+            e.fetch_ms, crawl_delay_s, politeness
+        )
     return events, cursor
 
 
@@ -120,6 +123,7 @@ def schedule_host_arrays(
     epoch_start_ms: int,
     epoch_end_ms: int,
     cfg: CrawlConfig,
+    politeness: tuple[float, int, int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Vectorized twin of :func:`schedule_host` (same semantics, numpy).
 
@@ -145,12 +149,13 @@ def schedule_host_arrays(
     rc = retry_count[order]
 
     # per-entry post-fetch delay (clamp(factor×dur, min, max) ∨ crawl-delay)
-    snooze = np.clip(
-        (cfg.delay_factor * fm).astype(np.int64),
-        cfg.min_delay_ms,
-        cfg.max_delay_ms,
+    # — knobs may be overridden per host by an overlay sheet (politeness_for)
+    factor, mn, mx, cd_cap = politeness or (
+        cfg.delay_factor, cfg.min_delay_ms, cfg.max_delay_ms,
+        cfg.respect_crawl_delay_up_to_s,
     )
-    capped_cd = min(crawl_delay_s, cfg.respect_crawl_delay_up_to_s) * 1000
+    snooze = np.clip((factor * fm).astype(np.int64), mn, mx)
+    capped_cd = min(crawl_delay_s, cd_cap) * 1000
     d = fm + np.maximum(snooze, capped_cd)
 
     # budget prefix: entry i runs only if spend BEFORE it is < replenish

@@ -219,6 +219,7 @@ def simulate(world: World, cfg: CrawlConfig | None = None) -> SimResult:
             events, cursor = schedule_host(
                 by_host[host], next_allowed.get(host, 0), delay_s,
                 epoch_start, epoch_end, cfg,
+                politeness=cfg.politeness_for(host),
             )
             if events:
                 next_allowed[host] = cursor

@@ -311,3 +311,54 @@ def test_robots_ttl_refresh_parity(spark, no_aqe):
         assert seen == ttl_sim.seen
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_politeness_overlay_parity(spark, no_aqe):
+    """Heritrix overlay sheets (crawler-beans.cxml:469-480, the shipped
+    'veryPolite' sheet): a per-host politeness overlay changes the
+    schedule IDENTICALLY in the engine and the reference simulator, slows
+    exactly the overlaid host, and leaves unmatched hosts untouched."""
+    import dataclasses
+
+    from bitextor_spark.config import VERY_POLITE
+
+    world = small_world(WORLD_CFG)
+    slow_host = "mega.ex0.com"  # zero crawl-delay host -> overlay dominates
+    ov_cfg = dataclasses.replace(
+        CFG, politeness_overlays=((slow_host,) + VERY_POLITE,)
+    )
+    ov_sim = simulate(world, ov_cfg)
+    base_sim = simulate(world, CFG)
+    assert _log_tuples_sim(ov_sim) != _log_tuples_sim(base_sim)
+
+    # the overlaid host's fetch spacing honors the sheet's knobs: every
+    # same-host gap >= fetch_ms + minDelayMs (10s); other hosts keep the
+    # base clamp (their schedules may shift globally, but no unmatched
+    # host is ever spaced below ITS base minimum)
+    def gaps(sim_res, host):
+        ev = [e for e in sim_res.fetch_log if e.host == host]
+        return [
+            (b.fetch_start_ms - a.fetch_start_ms, a.fetch_ms)
+            for a, b in zip(ev, ev[1:])
+            if b.epoch == a.epoch  # only intra-epoch spacing is delay-bound
+        ]
+
+    ov_gaps = gaps(ov_sim, slow_host)
+    assert ov_gaps and all(g >= fm + 10_000 for g, fm in ov_gaps)
+    base_gaps = gaps(base_sim, slow_host)
+    assert any(g < fm + 10_000 for g, fm in base_gaps)  # overlay did work
+
+    # engine parity under the overlay
+    dfs = world_to_dfs(spark, world)
+    root = tempfile.mkdtemp(prefix="frontier_overlay_")
+    try:
+        eng = FrontierEngine(
+            spark, ov_cfg, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+            use_bloom=True,
+        )
+        eng.run(max_epochs=N_EPOCHS)
+        assert _log_tuples_engine(eng) == _log_tuples_sim(ov_sim)
+        seen = {r.url_canon for r in eng.frontier().select("url_canon").collect()}
+        assert seen == ov_sim.seen
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
