@@ -781,8 +781,12 @@ class FrontierEngine:
             # base scan, so the second consumption of `queued` touches
             # only the hot hosts' rows
             hot_hosts = [r.host for r in hot_df.collect()]
+            # host.isNull() keeps the split partition-complete: isin and
+            # ~isin both evaluate NULL for a NULL host, which would silently
+            # drop the row from BOTH branches (hosts are non-null today —
+            # this guards the invariant, not a live case)
             cand = queued.filter(
-                ~F.col("host").isin(hot_hosts)
+                F.col("host").isNull() | ~F.col("host").isin(hot_hosts)
             ).unionByName(
                 per_key_topk_passthrough(
                     queued.filter(F.col("host").isin(hot_hosts)),

@@ -45,7 +45,7 @@ def greedy_one_to_one(pairs: DataFrame) -> DataFrame:
 
 
 def mutually_best_converge(
-    pairs: DataFrame, max_iters: int = 40, strict: bool = True
+    pairs: DataFrame, max_iters: int | None = None, strict: bool = True
 ) -> DataFrame:
     """Iteratively keep mutually-best (src,trg) pairs, remove matched docs,
     repeat until fixpoint — align_documents' converge mode, distributed.
@@ -54,35 +54,56 @@ def mutually_best_converge(
     remains (the fixpoint — every iteration removes at least the globally
     best remaining pair, so it terminates; with deterministic tiebreaks
     each round typically clears a constant fraction, i.e. O(log n) rounds
-    in practice). ``max_iters`` is a safety bound only: hitting it with
-    work remaining raises under ``strict`` (default) instead of silently
-    returning a partial matching; ``strict=False`` returns the partial
-    result for callers that want best-effort under a round budget.
+    in practice). ``max_iters`` is a safety bound only; the default
+    (``None``) scales it to the input — one round per pair is a hard upper
+    bound on rounds-to-fixpoint, so the strict raise is unreachable unless
+    a caller passes an explicit smaller budget. Hitting an explicit bound
+    with work remaining raises under ``strict`` (default; since round 4 —
+    earlier rounds silently returned a partial matching) instead of
+    truncating; ``strict=False`` returns the partial result for callers
+    that want best-effort under a round budget.
 
-    Per-round driver cost is one job: the eager ``localCheckpoint``
-    materializes ``mutual``, and the emptiness probe counts the already-
-    cached partitions (no recompute); ``remaining``'s checkpoint bounds
-    the anti-join lineage that would otherwise double per round."""
+    Per-round driver cost is TWO jobs: one eager ``localCheckpoint`` of a
+    single tagged table (mutual flag + src/trg-taken flags — the anti-join
+    re-expressed as two more windows over the partitionings the rank pass
+    already shuffles into), and an emptiness count that reads the cached
+    partitions. Both ``mutual`` and ``remaining`` are filters over that one
+    materialization, so lineage stays bounded without per-branch
+    checkpoints."""
     remaining = pairs.select("src", "trg", "score").localCheckpoint()
+    if max_iters is None:
+        # cheap exact upper bound: every round removes >= 1 mutual pair
+        max_iters = max(64, remaining.count())
     matched = None
     converged = False
     for _ in range(max_iters):
         w_src = Window.partitionBy("src").orderBy(F.col("score").desc(), "trg")
         w_trg = Window.partitionBy("trg").orderBy(F.col("score").desc(), "src")
-        ranked = remaining.withColumn("rs", F.row_number().over(w_src)).withColumn(
-            "rt", F.row_number().over(w_trg)
+        is_mutual = (F.col("rs") == 1) & (F.col("rt") == 1)
+        tagged = (
+            remaining.withColumn("rs", F.row_number().over(w_src))
+            .withColumn("rt", F.row_number().over(w_trg))
+            .withColumn("is_mutual", is_mutual)
+            .withColumn(
+                "src_taken",
+                F.max(is_mutual.cast("int")).over(Window.partitionBy("src")),
+            )
+            .withColumn(
+                "trg_taken",
+                F.max(is_mutual.cast("int")).over(Window.partitionBy("trg")),
+            )
+            .localCheckpoint()
         )
-        mutual = ranked.filter((F.col("rs") == 1) & (F.col("rt") == 1)).select(
-            "src", "trg", "score"
-        ).localCheckpoint()
-        if mutual.count() == 0:
+        mutual = tagged.filter("is_mutual").select("src", "trg", "score")
+        if mutual.isEmpty():
             converged = True
             break
         matched = mutual if matched is None else matched.unionByName(mutual)
-        remaining = (
-            remaining.join(mutual.select("src"), "src", "left_anti")
-            .join(mutual.select("trg"), "trg", "left_anti")
-        ).localCheckpoint()
+        remaining = tagged.filter(
+            ~F.col("is_mutual")
+            & (F.col("src_taken") == 0)
+            & (F.col("trg_taken") == 0)
+        ).select("src", "trg", "score")
     if not converged and remaining.isEmpty():
         converged = True  # last round matched everything
     if not converged and strict:

@@ -93,14 +93,25 @@ def a5_dedup_best_group(spark, sf_dir):
 # W2 — grouped-map re-rank (applyInPandas), logistic scorer
 # =========================================================================
 
-def _w2_oracle_sql() -> str:
+def _w2_oracle_sql() -> str | None:
     """Replay the DEFAULT rerank artifact's learned weights in SQL: the
     committed artifact is a trained linear-logistic pickle, so the oracle
-    is sigmoid(w0*z + w1*tok + b) with the pickle's exact coefficients."""
+    is sigmoid(w0*z + w1*tok + b) with the pickle's exact coefficients.
+
+    Returns ``None`` (→ rows-only registration) when the configured model
+    is not linear-replayable — $BITEXTOR_SPARK_RERANK_MODEL accepts ANY
+    pickled predict_proba model (e.g. a real SVM), and an opaque model must
+    degrade this one query to a rows-only check, not crash the whole
+    registry import. Load/unpickle failures degrade the same way; the
+    query itself re-raises at call time with the real error."""
     from bitextor_spark.models import linear_rerank_params, load_rerank_model
 
-    params = linear_rerank_params(load_rerank_model())
-    assert params is not None, "default rerank artifact must be replayable"
+    try:
+        params = linear_rerank_params(load_rerank_model())
+    except Exception:
+        return None
+    if params is None:
+        return None
     w0, w1, b = params
     return f"""
     WITH d AS (SELECT doc_id, source, n_chars,

@@ -476,8 +476,11 @@ def _langid_profile_sql() -> str:
     the committed corpus-derived 17-language artifact by default."""
     from bitextor_spark.models import load_langid_profile
 
+    def lit(s: str) -> str:  # profile rows can come from an env-pointed
+        return "'" + s.replace("'", "''") + "'"  # TSV — escape quotes
+
     values = ", ".join(
-        f"('{lang}', '{t}')"
+        f"({lit(lang)}, {lit(t)})"
         for lang, t in load_langid_profile(default=_LANG_TRIGRAMS)
     )
     return f"""

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 from typing import Any, Callable
@@ -192,12 +193,15 @@ class TableCatalog:
             for entry in json.loads(r.tables).values():
                 referenced.update(entry["paths"])
         dropped = []
-        prefix = f"{self.ns}."
+        # only tables THIS catalog created are GC candidates: the _ident()
+        # pattern is <name>__[sd]<6-digit snapshot id>; a user table that
+        # merely contains '__' in the same namespace must never be dropped
+        own = re.compile(r"^.+__[sd]\d{6}$")
         for t in self.spark.catalog.listTables(self.ns):
             ident = f"{self.ns}.{t.name}"
             if t.name == "__commits__" or ident in referenced:
                 continue
-            if ident.startswith(prefix) and "__" in t.name:
+            if own.match(t.name):
                 self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
                 dropped.append(ident)
         return dropped
