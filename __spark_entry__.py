@@ -3,12 +3,14 @@
 ``entry(spark)`` runs the flagship TF-IDF document-similarity join at
 sf0.001; ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data-pipeline operators); ``oracle_sql()`` gives the
-DuckDB twin for each query. Engine-output queries (crawl_wave,
-crawl_wave_priority, img_pipeline) pair with literal-VALUES oracles
-generated from the reference simulator / a pure-numpy recomputation
-(tools/build_fixtures.py), so the driver hash-checks the engine's exact
-crawl order. Only W3/W4 (greedy/converge matching) omit the oracle →
-rows-only check; their exactness oracles are the pytest suites.
+DuckDB twin for each query — every registry entry has one. Engine/
+iterative-output queries (crawl_wave, crawl_wave_priority, img_pipeline,
+w3_greedy_match, w4_converge_match) pair with literal-VALUES oracles
+generated Spark-independently (reference simulator, pure-numpy image
+recompute, DuckDB-pairs + pure-Python matcher replay —
+tools/build_fixtures.py, drift-guarded in tests/test_fixtures_drift.py),
+so the driver hash-checks the engine's exact crawl order and the exact
+matchings.
 """
 
 from __future__ import annotations

@@ -872,8 +872,13 @@ def c6_url_canonicalize(spark, sf_dir):
 from bitextor_spark.expected_fixtures import EXPECTED_SQL  # noqa: E402
 
 
-@q("w3_greedy_match")
+@q("w3_greedy_match", EXPECTED_SQL["w3_greedy_match"])
 def w3_greedy_match(spark, sf_dir):
+    """Greedy 1:1 sweep (docalign.cpp:424-462). Oracle: pure-Python replay
+    of the sweep over the SAME pair set recomputed Spark-independently
+    (DuckDB runs the hash-green tfidf oracle SQL), baked as literals for
+    the driver's sf0.01 input by tools/build_fixtures.py and drift-guarded
+    in tests/test_fixtures_drift.py."""
     pairs = tfidf_similarity(spark, sf_dir).select(
         F.col("src").cast("bigint"), F.col("trg").cast("bigint"),
         F.col("score").cast("double"),
@@ -881,8 +886,14 @@ def w3_greedy_match(spark, sf_dir):
     return M.greedy_one_to_one(pairs)
 
 
-@q("w4_converge_match")
+@q("w4_converge_match", EXPECTED_SQL["w4_converge_match"])
 def w4_converge_match(spark, sf_dir):
+    """Mutually-best converge matching — the operator of record
+    (bitextor_align_documents.py:36-365, `-i converge`). Since round 4 the
+    fixpoint is explicit and exhausting an EXPLICIT round budget raises
+    instead of silently truncating (the default budget now scales with the
+    input, so it cannot trip on legal inputs). Oracle: pure-Python fixpoint
+    replay over the DuckDB-recomputed pair set (see w3_greedy_match)."""
     pairs = tfidf_similarity(spark, sf_dir).select("src", "trg", "score")
     return M.mutually_best_converge(pairs)
 

@@ -71,6 +71,16 @@ IMG_COLS = (
     ("n_thumbs", "BIGINT"),
 )
 
+MATCH_COLS = (
+    ("src", "BIGINT"),
+    ("trg", "BIGINT"),
+    ("score", "DOUBLE"),
+)
+
+# the driver's correctness gate runs every query at this sf dir; the W3/W4
+# oracles are baked for exactly this input (drift-guarded in pytest)
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
 
 def _sql_lit(v) -> str:
     if v is None:
@@ -146,6 +156,81 @@ def img_expected(n: int = 64) -> list[tuple]:
     ]
 
 
+def tfidf_pairs(sf_dir: str = DRIVER_SF_DIR) -> list[tuple[int, int, float]]:
+    """The matching input, recomputed Spark-independently: DuckDB runs the
+    registry's own tfidf_similarity oracle SQL over the driver's sf tables.
+    That SQL is hash-green against the Spark plan (CORRECTNESS r2-r4), so
+    its (src, trg, score) rows — scores rounded to 4 decimals on BOTH
+    engines — are the exact pair set the W3/W4 queries consume."""
+    import duckdb
+
+    from bitextor_spark.queries import _TFIDF_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(_TFIDF_SQL).fetchall()
+    con.close()
+    # canonical order: DuckDB's parallel scan returns rows in arbitrary
+    # order; the matchers are order-independent (total tiebreaks) but the
+    # baked literals must be byte-stable across builder runs
+    return sorted((int(s), int(t), float(sc)) for s, t, sc, _rank in rows)
+
+
+def greedy_expected(pairs: list[tuple[int, int, float]]) -> list[tuple]:
+    """Pure-Python replay of operators/matching.greedy_one_to_one: best
+    score first, (score desc, src, trg) deterministic order, keep iff
+    neither side is matched (docalign.cpp:424-462 sweep semantics).
+    Distinct rounded scores differ by >= 5e-5 >> 1 ulp, so the float sort
+    order is engine-independent."""
+    taken_src: set[int] = set()
+    taken_trg: set[int] = set()
+    out = []
+    for src, trg, score in sorted(pairs, key=lambda p: (-p[2], p[0], p[1])):
+        if src in taken_src or trg in taken_trg:
+            continue
+        taken_src.add(src)
+        taken_trg.add(trg)
+        out.append((src, trg, score))
+    return sorted(out)
+
+
+def converge_expected(pairs: list[tuple[int, int, float]]) -> list[tuple]:
+    """Pure-Python replay of operators/matching.mutually_best_converge
+    (bitextor_align_documents.py:36-365 converge mode): keep pairs that are
+    BOTH their src's best (score desc, trg asc) and their trg's best
+    (score desc, src asc), drop every pair touching a matched doc, iterate
+    to fixpoint. Output order is irrelevant (driver hashes order-
+    insensitively)."""
+    remaining = list(pairs)
+    matched: list[tuple] = []
+    while remaining:
+        best_for_src: dict[int, tuple] = {}
+        best_for_trg: dict[int, tuple] = {}
+        for src, trg, score in remaining:
+            b = best_for_src.get(src)
+            if b is None or (-score, trg) < (-b[2], b[1]):
+                best_for_src[src] = (src, trg, score)
+            b = best_for_trg.get(trg)
+            if b is None or (-score, src) < (-b[2], b[0]):
+                best_for_trg[trg] = (src, trg, score)
+        mutual = [
+            p for p in remaining
+            if best_for_src[p[0]] == p and best_for_trg[p[1]] == p
+        ]
+        if not mutual:
+            break
+        matched.extend(mutual)
+        m_src = {p[0] for p in mutual}
+        m_trg = {p[1] for p in mutual}
+        remaining = [
+            p for p in remaining if p[0] not in m_src and p[1] not in m_trg
+        ]
+    return sorted(matched)
+
+
 def write_parquet(path: str, rows: list[tuple], cols) -> None:
     typemap = {"BIGINT": pa.int64(), "INTEGER": pa.int32(),
                "VARCHAR": pa.string(), "DOUBLE": pa.float64()}
@@ -161,6 +246,9 @@ def main() -> None:
     bfs = crawl_expected({})
     pri = crawl_expected({"queue_order": "priority", "priority_floor": 1e-6})
     img = img_expected()
+    pairs = tfidf_pairs()
+    w3 = greedy_expected(pairs)
+    w4 = converge_expected(pairs)
 
     fx_dir = os.path.join(REPO, "fixtures")
     os.makedirs(fx_dir, exist_ok=True)
@@ -170,6 +258,10 @@ def main() -> None:
                   pri, FETCH_LOG_COLS)
     write_parquet(os.path.join(fx_dir, "img_pipeline_expected.parquet"),
                   img, IMG_COLS)
+    write_parquet(os.path.join(fx_dir, "w3_greedy_match_expected.parquet"),
+                  w3, MATCH_COLS)
+    write_parquet(os.path.join(fx_dir, "w4_converge_match_expected.parquet"),
+                  w4, MATCH_COLS)
 
     mod = os.path.join(REPO, "bitextor_spark", "expected_fixtures.py")
     with open(mod, "w", encoding="utf-8") as fh:
@@ -184,16 +276,21 @@ def main() -> None:
         fh.write(f"CRAWL_WAVE_ROWS = {bfs!r}\n\n")
         fh.write(f"CRAWL_WAVE_PRIORITY_ROWS = {pri!r}\n\n")
         fh.write(f"IMG_PIPELINE_ROWS = {img!r}\n\n")
+        fh.write(f"W3_GREEDY_ROWS = {w3!r}\n\n")
+        fh.write(f"W4_CONVERGE_ROWS = {w4!r}\n\n")
         fh.write("EXPECTED_SQL = {\n")
         for name, rows, cols in (
             ("crawl_wave", bfs, FETCH_LOG_COLS),
             ("crawl_wave_priority", pri, FETCH_LOG_COLS),
             ("img_pipeline", img, IMG_COLS),
+            ("w3_greedy_match", w3, MATCH_COLS),
+            ("w4_converge_match", w4, MATCH_COLS),
         ):
             fh.write(f'    "{name}": """\n    {values_sql(rows, cols)}\n    """,\n')
         fh.write("}\n")
     print(f"crawl_wave: {len(bfs)} rows; priority: {len(pri)} rows; "
-          f"img: {len(img)} rows -> {mod}")
+          f"img: {len(img)} rows; w3: {len(w3)} rows; w4: {len(w4)} rows "
+          f"-> {mod}")
 
 
 if __name__ == "__main__":
