@@ -684,6 +684,11 @@ class FrontierEngine:
                 side = side.filter(F.col("priority") >= cfg.priority_floor)
             if "updated_epoch" in side.columns:
                 side = side.drop("updated_epoch")
+            # state is the constant "QUEUED" on both sides of the merge —
+            # dropping it narrows every downstream exchange AND the Arrow
+            # transfer into the politeness walk (the walk reads 14 of the
+            # frontier's columns; state was the one dead passenger)
+            side = side.drop("state")
             return side.join(
                 self.pages.select(
                     "url_canon",
@@ -822,55 +827,74 @@ class FrontierEngine:
         # tests/test_politeness_vec.py).
         _OUTCOMES = np.array(["FETCHED", "RETRY", "FAILED"])
 
-        def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-            host = pdf["host"].iloc[0]
-            url = pdf["url_canon"].to_numpy()
-            hop = pdf["hop"].to_numpy()
-            if priority_mode:
-                order = np.lexsort((url, hop, -pdf["priority"].to_numpy()))
-            else:
-                order = np.lexsort((url, hop))
+        # applyInArrow, not applyInPandas: the walk runs once per HOST
+        # group (thousands of small groups per epoch), so per-group
+        # conversion overhead multiplies. The arrow walk never builds a
+        # pandas frame: the deterministic (priority, hop, url) order comes
+        # from pyarrow's C++ sort_indices, the numeric inputs of the numpy
+        # politeness scan are zero-copy views, passthrough columns ride a
+        # single Table.take, and only the two per-host scalars cross into
+        # Python. Same schedule_host_arrays core, property-tested against
+        # the reference loop (tests/test_politeness_vec.py).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        sort_keys = (
+            [("priority", "descending"), ("hop", "ascending"),
+             ("url_canon", "ascending")]
+            if priority_mode
+            else [("hop", "ascending"), ("url_canon", "ascending")]
+        )
+        empty_events = pa.schema([
+            ("url_hash", pa.int64()), ("url_canon", pa.string()),
+            ("host", pa.string()), ("hop", pa.int32()),
+            ("seed_id", pa.int32()), ("retry_count", pa.int32()),
+            ("fetch_start_ms", pa.int64()), ("fetch_ms", pa.int32()),
+            ("status", pa.int32()), ("outcome", pa.string()),
+            ("new_next_allowed", pa.int64()), ("trans_hops", pa.int32()),
+            ("priority", pa.float64()), ("not_before_ms", pa.int64()),
+            ("discovered_epoch", pa.int32()),
+        ]).empty_table()
+
+        def walk(table: "pa.Table") -> "pa.Table":
+            host = table.column("host")[0].as_py()
+            order = pc.sort_indices(table, sort_keys=sort_keys).to_numpy()
+            nb = table.column("not_before_ms").to_numpy(zero_copy_only=False)
             picked, start, outcome, cursor = schedule_host_arrays(
                 order,
-                pdf["not_before_ms"].to_numpy(),
-                pdf["status"].to_numpy(),
-                pdf["fetch_ms"].to_numpy(),
-                pdf["retry_count"].to_numpy(),
-                int(pdf["next_allowed_ms"].iloc[0]),
-                int(pdf["crawl_delay_s"].iloc[0]),
+                nb,
+                table.column("status").to_numpy(zero_copy_only=False),
+                table.column("fetch_ms").to_numpy(zero_copy_only=False),
+                table.column("retry_count").to_numpy(zero_copy_only=False),
+                int(table.column("next_allowed_ms")[0].as_py()),
+                int(table.column("crawl_delay_s")[0].as_py()),
                 epoch_start, epoch_end, cfg,
                 politeness=cfg.politeness_for(host),
             )
             if picked.size == 0:
-                return pd.DataFrame(
-                    columns=["url_hash", "url_canon", "host", "hop", "seed_id",
-                             "retry_count", "fetch_start_ms", "fetch_ms",
-                             "status", "outcome", "new_next_allowed",
-                             "trans_hops", "priority", "not_before_ms",
-                             "discovered_epoch"]
-                )
-            return pd.DataFrame(
-                {
-                    "url_hash": pdf["url_hash"].to_numpy()[picked],
-                    "url_canon": url[picked],
-                    "host": host,
-                    "hop": hop[picked],
-                    "seed_id": pdf["seed_id"].to_numpy()[picked],
-                    "retry_count": pdf["retry_count"].to_numpy()[picked],
-                    "fetch_start_ms": start,
-                    "fetch_ms": pdf["fetch_ms"].to_numpy()[picked],
-                    "status": pdf["status"].to_numpy()[picked],
-                    "outcome": _OUTCOMES[outcome],
-                    "new_next_allowed": cursor,
-                    "trans_hops": pdf["trans_hops"].to_numpy()[picked],
-                    "priority": pdf["priority"].to_numpy()[picked],
-                    # passthrough: the frontier-delta row for this attempt
-                    # is reconstructed from the event alone (MOR commit)
-                    "not_before_ms": pdf["not_before_ms"].to_numpy()[picked],
-                    "discovered_epoch":
-                        pdf["discovered_epoch"].to_numpy()[picked],
-                }
-            )
+                return empty_events
+            sub = table.take(pa.array(picked))
+            return pa.table({
+                "url_hash": sub.column("url_hash"),
+                "url_canon": sub.column("url_canon"),
+                "host": sub.column("host"),
+                "hop": sub.column("hop"),
+                "seed_id": sub.column("seed_id"),
+                "retry_count": sub.column("retry_count"),
+                "fetch_start_ms": pa.array(start, type=pa.int64()),
+                "fetch_ms": sub.column("fetch_ms"),
+                "status": sub.column("status"),
+                "outcome": pa.array(_OUTCOMES[outcome]),
+                "new_next_allowed": pa.array(
+                    np.full(len(picked), cursor, dtype=np.int64)
+                ),
+                "trans_hops": sub.column("trans_hops"),
+                "priority": sub.column("priority"),
+                # passthrough: the frontier-delta row for this attempt is
+                # reconstructed from the event alone (MOR commit)
+                "not_before_ms": sub.column("not_before_ms"),
+                "discovered_epoch": sub.column("discovered_epoch"),
+            })
 
         # eager materialization: every downstream consumer (host_state,
         # frontier transitions, discovery, metrics) reads the walk output
@@ -878,14 +902,18 @@ class FrontierEngine:
         # delta write (Iceberg staging: data files land before the manifest
         # publish; a crash orphans them harmlessly) — one job does double
         # duty, and the commit phase later only records the path.
-        raw_events = cand.groupBy("host").applyInPandas(walk, EVENT_SCHEMA)
+        raw_events = cand.groupBy("host").applyInArrow(walk, EVENT_SCHEMA)
         events_path = self.catalog.stage_path("fetch_log", kind="append")
-        raw_events.withColumn("epoch", F.lit(epoch)).write.mode(
+        # persist-through-write: the parquet write is still the one
+        # materializing action (and the committed fetch_log delta), but it
+        # now ALSO populates the cache, so downstream consumers read the
+        # InMemoryRelation instead of paying a parquet read-back round
+        # trip per epoch. Released with the epoch's other pins post-commit.
+        events = raw_events.persist()
+        self._epoch_pins.append(events)
+        events.withColumn("epoch", F.lit(epoch)).write.mode(
             "overwrite"
         ).parquet(events_path)
-        events = self.spark.read.schema(
-            EVENT_SCHEMA + ", epoch int"
-        ).parquet(events_path).drop("epoch")
 
         mark('plan_candidates')
         # fetch_log stores events only (incl. the politeness cursor as
