@@ -78,6 +78,34 @@ def run_headline(spark) -> dict[str, float]:
     return out
 
 
+def _cpu_stat() -> dict | None:
+    """Box-wide CPU jiffies from /proc/stat — steal is the hypervisor
+    withholding cycles from this VM, the confound that moves measured
+    scaling ratios between sessions on identical code."""
+    try:
+        with open("/proc/stat") as fh:
+            v = list(map(int, fh.readline().split()[1:]))
+    except (OSError, ValueError):
+        return None
+    idle = v[3] + v[4]
+    return {"total": sum(v), "steal": v[7], "idle": idle}
+
+
+def cpu_window(before: dict | None, after: dict | None) -> dict | None:
+    """steal%/busy% of the box over a measurement window (jiffy deltas)."""
+    if not before or not after:
+        return None
+    dt = after["total"] - before["total"]
+    if dt <= 0:
+        return None
+    return {
+        "steal_pct": round(100.0 * (after["steal"] - before["steal"]) / dt, 2),
+        "busy_pct": round(
+            100.0 * (dt - (after["idle"] - before["idle"])) / dt, 2
+        ),
+    }
+
+
 def jvm_ceiling(spark, n_rows: int = 600_000_000) -> float:
     """Embarrassingly-parallel JVM throughput (rows/s) in THIS session — the
     machine's parallel ceiling at the session's core count. On shared/SMT
@@ -164,6 +192,7 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
             if eng.meta().get("done"):
                 break
             te = time.time()
+            cpu0 = _cpu_stat()
             st = eng.run_epoch()
             e_wall = time.time() - te
             epochs.append({
@@ -173,12 +202,22 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
                 "n_jobs": eng.last_timings.get("n_jobs"),
                 "phases": {k: v for k, v in eng.last_timings.items()
                            if k != "n_jobs"},
+                # per-EPOCH steal/busy: each throughput sample carries the
+                # box state it was measured under, so a steal episode is
+                # attributable to the exact samples it distorted
+                "cpu": cpu_window(cpu0, _cpu_stat()),
             })
             if st.attempts == 0 and st.queued_remaining == 0:
                 break
         wall = time.time() - t0
         attempts = sum(e["attempts"] for e in epochs)
         shutil.rmtree(root, ignore_errors=True)
+        # ceiling job + its own steal window: the ceiling is only a valid
+        # normalizer for THIS run if the box state during the ceiling job
+        # matches the crawl's — both windows are reported so a mismatch is
+        # visible instead of silently biasing vs-ceiling
+        c0 = _cpu_stat()
+        ceil = jvm_ceiling(spark)
         return {
             "cpus": cpus,
             "epochs": len(epochs),
@@ -186,7 +225,8 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
             "wall_sec": round(wall, 2),
             "urls_per_sec": round(attempts / wall, 1),
             "epoch_samples": epochs,
-            "jvm_ceiling_rows_per_sec": jvm_ceiling(spark),
+            "jvm_ceiling_rows_per_sec": ceil,
+            "ceiling_cpu": cpu_window(c0, _cpu_stat()),
         }
     finally:
         spark.stop()
@@ -279,6 +319,8 @@ def _append_history(result: dict) -> tuple[list[dict], int]:
             "ceiling": c["machine_ceiling_efficiency"],
             "vs_ceiling": c["efficiency_vs_ceiling"],
             "headline_total_sec": result["value"],
+            "steal_med": [c["low"].get("steal_pct_median"),
+                          c["high"].get("steal_pct_median")],
         }
         with open(path, "a") as fh:
             fh.write(json.dumps(row) + "\n")
@@ -337,17 +379,25 @@ def write_report(result: dict) -> None:
             "efficiency headline is the MEDIAN over per-epoch samples. "
             "4→16 covers the box's physical cores; 8→32 is the driver's "
             "spec'd example pair (its high side lands in 2-way SMT "
-            "oversubscription — see each pair's machine ceiling).",
+            "oversubscription — see each pair's machine ceiling). Each "
+            "per-epoch sample carries the /proc/stat steal% of its own "
+            "measurement window; min/median/max columns expose dispersion "
+            "so a steal episode reads as noise, not regression.",
             "",
-            "| cores | samples | median urls/s | best urls/s | jobs/epoch |",
-            "|---|---|---|---|---|",
+            "| cores | samples | urls/s min/med/max | best run | "
+            "steal% min/med/max | jobs/epoch |",
+            "|---|---|---|---|---|---|",
         ]
         for c in pairs:
             for r in (c["low"], c["high"]):
                 lines.append(
                     f"| {r['cpus']} | {r['n_samples']} | "
-                    f"{r['median_urls_per_sec']} | "
-                    f"{r['best_urls_per_sec']} | {r['jobs_per_epoch']} |"
+                    f"{r['min_urls_per_sec']} / "
+                    f"{r['median_urls_per_sec']} / "
+                    f"{r['max_urls_per_sec']} | "
+                    f"{r['best_urls_per_sec']} | "
+                    f"{r['steal_pct_min']} / {r['steal_pct_median']} / "
+                    f"{r['steal_pct_max']} | {r['jobs_per_epoch']} |"
                 )
         for c in pairs:
             lines += [
@@ -451,24 +501,35 @@ def main() -> None:
         epochs_per_run = 3
         # world sized so every epoch stays FAT at the high core count
         # (strong-scaling on a starved input measures job-launch latency,
-        # not the partitioning): ~790k/460k/260k attempts per epoch
-        kw = dict(n_pages=2_000_000, n_hosts=6000, n_seeds=1_200_000,
-                  max_epochs=epochs_per_run)
+        # not the partitioning): ~790k/460k/260k attempts per epoch.
+        # SPARK_GRAFT_BENCH_WORLD_SCALE shrinks it for smoke runs only —
+        # comparable history rows all carry the full-world fingerprint.
+        ws = float(os.environ.get("SPARK_GRAFT_BENCH_WORLD_SCALE", "1"))
+        kw = dict(n_pages=int(2_000_000 * ws), n_hosts=max(50, int(6000 * ws)),
+                  n_seeds=int(1_200_000 * ws), max_epochs=epochs_per_run)
 
         def summarize(cpus, runs):
             """Per-epoch throughput samples + medians over k fresh-JVM runs.
 
             Median over per-epoch samples (advisor guidance): a ratio of
             maxima is biased and unstable under the VM's ±2-3x steal noise;
-            the median of 9 per-epoch samples is a stable estimator."""
+            the median of 9 per-epoch samples is a stable estimator. The
+            min/median/max dispersion and the per-epoch steal distribution
+            are reported alongside, so a steal episode shows up as wide
+            dispersion + high steal rather than masquerading as a code
+            regression (r4 verdict directive #3)."""
             eps = [e for r in runs for e in r["epoch_samples"]]
+            thr = sorted(e["urls_per_sec"] for e in eps)
+            steals = sorted(
+                e["cpu"]["steal_pct"] for e in eps if e.get("cpu")
+            )
             return {
                 "cpus": cpus,
                 "runs": runs,
                 "n_samples": len(eps),
-                "median_urls_per_sec": round(
-                    statistics.median(e["urls_per_sec"] for e in eps), 1
-                ),
+                "min_urls_per_sec": thr[0],
+                "median_urls_per_sec": round(statistics.median(thr), 1),
+                "max_urls_per_sec": thr[-1],
                 "best_urls_per_sec": round(
                     max(r["urls_per_sec"] for r in runs), 1
                 ),
@@ -476,6 +537,11 @@ def main() -> None:
                 "median_jvm_ceiling": statistics.median(
                     r["jvm_ceiling_rows_per_sec"] for r in runs
                 ),
+                "steal_pct_min": steals[0] if steals else None,
+                "steal_pct_median": (
+                    round(statistics.median(steals), 2) if steals else None
+                ),
+                "steal_pct_max": steals[-1] if steals else None,
             }
 
         def run_pair(a: int, b: int, k: int) -> dict:
@@ -549,6 +615,8 @@ def main() -> None:
             "efficiency": c["efficiency"],
             "ceiling": c["machine_ceiling_efficiency"],
             "vs_ceiling": c["efficiency_vs_ceiling"],
+            "steal_med": [c["low"]["steal_pct_median"],
+                          c["high"]["steal_pct_median"]],
         }
 
     line = {
