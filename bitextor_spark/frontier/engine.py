@@ -4,7 +4,7 @@ One epoch = one Spark job pipeline:
 
   queued frontier ──(per-host top-k prefix)──► schedulable candidates
      ⋈ pages (status/duration)  ⋈ robots (broadcast)  ⋈ host_state
-     ──groupBy(host).applyInPandas(politeness walk)──► fetch events
+     ──groupBy(host).applyInArrow(politeness walk)──► fetch events
      ──window(order by start,host,url)──► fetch_log seq (exact order)
      events ⋈ pages.outlinks ──explode──► raw links
      ──resolve+canonicalize (Arrow UDF)──► candidates
@@ -22,7 +22,7 @@ the single-threaded simulator in tests/test_frontier_parity.py.
 
 Skew: the per-host top-k prefix bounds any mega-host's contribution to an
 epoch at the politeness ceiling (window_ms / min_delay + retries), so the
-applyInPandas group for the hottest host is O(hundreds) of rows no matter
+applyInArrow group for the hottest host is O(hundreds) of rows no matter
 how many billions of its URLs are queued; the bloom shards are uniform by
 url-hash. Frontier state lives in snapshot tables (sources/snapshots.py);
 every epoch is resumable (kill → rerun uncommitted epoch, identical by the
