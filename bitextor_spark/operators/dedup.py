@@ -83,6 +83,12 @@ def minhash_lsh_pairs(
 
     bands of r = n_hashes/n_bands minhashes each; band key = md5 of the
     ':'-joined band. Returns distinct (doc_a < doc_b).
+
+    The signature stays in the per-row array form DELIBERATELY: an
+    explode→groupBy codegen re-expression (the trick that pays for the
+    60-pass simhash below) was raced interleaved at sf0.1 and LOST ~5x
+    (median 1.7 s vs ~8 s) — 16 interpreted array walks are cheaper than
+    the extra full exchange + 16-column hash-agg the explode form adds.
     """
     r = n_hashes // n_bands
     sig = _spread(df).select(
@@ -211,14 +217,48 @@ def hamming_pairs(
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """(doc, sh) simhash fingerprints via explode → codegen hash-agg.
+
+    Same signature as :func:`simhash_col` (bit b set iff Σ±1 over distinct
+    token hashes' bit b is positive; empty/null token set → sh=0), but in
+    ONE codegen pass instead of `bits` interpreted ``F.aggregate`` walks of
+    the token array per row — the interpreted-HOF trap measured in
+    tools/bench_discovery_ab.py. The groupBy is a map-side partial
+    aggregate; the shuffle carries one `bits`-column row per doc per input
+    partition."""
+    ex = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        # explode_outer keeps empty/null-token docs (one null-hash row);
+        # the null-guard below makes that row contribute 0 to every bit
+        # count, so such docs land at sh=0 exactly like the per-row path
+        F.explode_outer(token_hashes(F.col(text_col))).alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0))
+            .when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    cnt = ex.groupBy("doc").agg(*aggs)
+    total = F.lit(0)
+    for b in range(bits):
+        total = total + F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return cnt.select("doc", total.cast("bigint").alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 4
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_dist (text front
     end over :func:`hamming_pairs`)."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("doc"), simhash_col(F.col(text_col), bits).alias("sh")
-    )
+    sh = simhash_signatures(df, id_col, text_col, bits)
     return hamming_pairs(sh, bits, max_dist)
 
 

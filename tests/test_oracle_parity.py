@@ -12,6 +12,15 @@ import pytest
 from bitextor_spark.queries import ORACLES, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
+# Literal-VALUES oracles are baked by tools/build_fixtures.py for the
+# DRIVER's gate input (sf0.01). The crawl/img fixtures are sf-independent
+# (deterministic synthetic worlds), but W3/W4 are matchings over the sf
+# `documents` table — replicate the driver exactly by running those two
+# at the fixture's own sf dir.
+FIXTURE_SF = {
+    "w3_greedy_match": "/root/testdata/sf0.01",
+    "w4_converge_match": "/root/testdata/sf0.01",
+}
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -43,7 +52,7 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, ddb, name):
-    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    got = _normalize(QUERIES[name](spark, FIXTURE_SF.get(name, SF_DIR)).toPandas())
     want = _normalize(ddb.sql(ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
