@@ -232,9 +232,12 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
         spark.stop()
 
 
-def crawl_bench_subprocess(cpus: int, **kw) -> dict:
+def crawl_bench_subprocess(cpus: int, retries: int = 1, **kw) -> dict:
     """Run crawl_bench in a fresh process (fresh JVM — no cross-run JIT or
-    page-cache warmth biasing the comparison)."""
+    page-cache warmth biasing the comparison). One transient JVM death must
+    not abort a ~40-minute bench session, so failures retry once (fresh
+    process, so no state carries over) and the final failure surfaces the
+    child's stderr tail instead of a bare exit status."""
     import subprocess
 
     args = ", ".join(f"{k}={v}" for k, v in kw.items())
@@ -242,11 +245,21 @@ def crawl_bench_subprocess(cpus: int, **kw) -> dict:
         "import json; from bench import crawl_bench; "
         f"print(json.dumps(crawl_bench({cpus}, {args})))"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        sys.stderr.write(
+            f"crawl_bench_subprocess(cpus={cpus}) attempt {attempt} "
+            f"failed (exit {out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:]) + "\n"
+        )
+    raise RuntimeError(
+        f"crawl_bench subprocess failed {retries + 1}x at cpus={cpus}"
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def dedup_bench(spark, n_keys: int = 2_000_000) -> dict:

@@ -866,7 +866,8 @@ def c6_url_canonicalize(spark, sf_dir):
 # tools/build_fixtures.py), so the driver hash-compares the engine's
 # actual ordered fetch log against the golden single-threaded simulation —
 # the analog of the reference's golden-output md5 gate (tests/common.sh).
-# Only W3/W4 remain rows-only (their exactness oracles are pytest).
+# Since round 5 W3/W4 are oracle-paired the same way (pure-Python matcher
+# replay over the DuckDB-recomputed pair set), so all 50 rows have oracles.
 # =========================================================================
 
 from bitextor_spark.expected_fixtures import EXPECTED_SQL  # noqa: E402
