@@ -423,7 +423,14 @@ def write_report(result: dict) -> None:
                 f"(range→xxhash64→sum, no shuffle, no Python) in the same "
                 f"sessions — is **{c['machine_ceiling_efficiency']}**; "
                 f"the crawl relative to that ceiling: "
-                f"**{c['efficiency_vs_ceiling']}**.",
+                f"**{c['efficiency_vs_ceiling']}**. Job identity across "
+                f"core counts: per-epoch attempt counts are "
+                f"{'IDENTICAL' if c.get('identical_work_across_cores') else 'NOT identical — investigate'} "
+                "at both parallelism levels (deterministic world ⇒ the two "
+                "sides measure the same work, the north rule's same-job "
+                "criterion); epoch-index-matched efficiency (epoch i at N "
+                "vs the same epoch i at 4N, removing the fat/drained-epoch "
+                f"mix): **{c.get('efficiency_epoch_matched')}**.",
             ]
         lines += [
             "",
@@ -568,6 +575,27 @@ def main() -> None:
                 a_runs.append(crawl_bench_subprocess(a, **kw))
                 b_runs.append(crawl_bench_subprocess(b, **kw))
             low, high = summarize(a, a_runs), summarize(b, b_runs)
+            # job identity: the world+config is deterministic, so epoch i
+            # must attempt the SAME urls at every core count — hard
+            # evidence the two sides measure identical work ("same job at
+            # two cluster sizes", BASELINE.md north rule)
+            att = lambda runs: sorted(  # noqa: E731
+                tuple(e["attempts"] for e in r["epoch_samples"]) for r in runs
+            )
+            identical_work = att(a_runs) == att(b_runs)
+            # epoch-index-matched efficiency: epoch i at N vs the SAME
+            # epoch i at 4N (same attempts, same frontier state) — removes
+            # the fat-vs-drained-epoch mix from the pooled-median ratio
+            n_ep = min(min(len(r["epoch_samples"]) for r in a_runs),
+                       min(len(r["epoch_samples"]) for r in b_runs))
+            per_epoch_eff = [
+                (statistics.median(r["epoch_samples"][i]["urls_per_sec"]
+                                   for r in b_runs)
+                 / statistics.median(r["epoch_samples"][i]["urls_per_sec"]
+                                     for r in a_runs)) / (b / a)
+                for i in range(n_ep)
+            ]
+            eff_matched = round(statistics.median(per_epoch_eff), 3)
             eff = (high["median_urls_per_sec"] / low["median_urls_per_sec"]) / (b / a)
             eff_best = (
                 high["best_urls_per_sec"] / low["best_urls_per_sec"]
@@ -587,6 +615,8 @@ def main() -> None:
                 "world": {kk: kw[kk] for kk in
                           ("n_pages", "n_hosts", "n_seeds", "max_epochs")},
                 "efficiency": round(eff, 3),
+                "efficiency_epoch_matched": eff_matched,
+                "identical_work_across_cores": identical_work,
                 "efficiency_best": round(eff_best, 3),
                 "machine_ceiling_efficiency": round(ceil_eff, 3),
                 "efficiency_vs_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
