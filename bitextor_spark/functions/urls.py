@@ -387,3 +387,201 @@ def resolve_outlink_udf(base: pd.Series, link: pd.Series) -> pd.Series:
 def url_hash_col(url_col):
     """64-bit URL hash — Spark's JVM-side xxhash64 (north_rule F2 mapping)."""
     return F.xxhash64(url_col)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-NATIVE flat resolver (mapInArrow): resolve + canonicalize + host +
+# registered-domain + within-page dedup + OPIC cash split, emitting FLAT
+# link rows — the explode happens inside the Arrow batch, so the engine
+# skips both the per-link Python loop (for the clean majority) and the JVM
+# Generate node. The ListArray arrives zero-copy (offsets + one flat string
+# buffer); classification and the canonical form of every clean link are
+# computed by C++ kernels (RE2 extract_regex / string concat), leaving
+# Python only the messy-link minority and one PSL walk per DISTINCT host.
+#
+# RE2 has no lookahead, so _CLEAN_ABS_RE is re-expressed as a broad match
+# plus three vetoes (www-prefix host, '//' dup slash, '/.' dot segment) —
+# pinned equivalent to the lookahead form in tests/test_discovery_ab_parity
+# and property-tested in tests/test_urls.py.
+# ---------------------------------------------------------------------------
+_ABS_BROAD_RE2 = (
+    r"^(?:http|https)://(?P<h>[a-z0-9-]+(?:\.[a-z0-9-]+)+)"
+    r"(?P<p>/[A-Za-z0-9._~/-]*)$"
+)
+_REL_RE2 = r"^[A-Za-z0-9_~-][A-Za-z0-9._~-]*$"
+
+
+def make_flat_resolver(
+    base_col: str,
+    links_col: str,
+    disc_host_col: str,
+    priority_col: str,
+    passthrough: list[str],
+):
+    """Build a mapInArrow function: one RecordBatch of pages in, flat
+    resolved-link RecordBatches out with columns
+    ``passthrough + [cash, cand_canon, cand_host, cand_reg_domain]``.
+
+    Exactness contract: the emitted (page, canon, host, reg_domain)
+    multiset equals resolve_outlinks_arr_udf + explode (the shipped r4
+    path), and cash equals parent_priority / n_resolved-after-dedup —
+    asserted by tests/test_discovery_ab_parity.py and the engine's crawl
+    hash oracles.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _one(rb: "pa.RecordBatch"):
+        n_pages = rb.num_rows
+        if n_pages == 0:
+            return None
+        base = rb.column(base_col)
+        links = rb.column(links_col)
+        lens = (
+            pc.list_value_length(links)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if int(lens.sum()) == 0:
+            return None
+        pidx = np.repeat(np.arange(n_pages, dtype=np.int64), lens)
+        flat = pc.list_flatten(links)
+        n_flat = len(flat)
+        trimmed = pc.utf8_trim_whitespace(flat)
+        base_ok = (
+            pc.and_kleene(pc.is_valid(base), pc.not_equal(base, ""))
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        consider = (
+            pc.and_kleene(pc.is_valid(trimmed), pc.not_equal(trimmed, ""))
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        ) & base_ok[pidx]
+
+        # clean-absolute fast path: broad RE2 match + lookahead vetoes
+        ex = pc.extract_regex(trimmed, _ABS_BROAD_RE2)
+        h_f = pc.struct_field(ex, "h")
+        p_f = pc.struct_field(ex, "p")
+        veto = pc.or_kleene(
+            pc.match_substring_regex(h_f, r"^www[0-9]*\."),
+            pc.or_kleene(
+                pc.match_substring(p_f, "//"), pc.match_substring(p_f, "/.")
+            ),
+        )
+        abs_mask = (
+            pc.and_kleene(pc.is_valid(ex), pc.invert(veto))
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        ) & consider
+
+        # clean-relative fast path: plain filename against a canonical,
+        # percent-free base -> base_dir + link (see CLEAN_REL_PATTERN note)
+        base_pct = (
+            pc.match_substring(base, "%")
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        rel_mask = (
+            pc.match_substring_regex(trimmed, _REL_RE2)
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+            & consider
+            & ~abs_mask
+            & ~base_pct[pidx]
+        )
+        slow_mask = consider & ~abs_mask & ~rel_mask
+
+        nulls = pa.nulls(n_flat, pa.string())
+        canon = pc.if_else(pa.array(abs_mask), trimmed, nulls)
+        host = pc.if_else(pa.array(abs_mask), h_f, nulls)
+
+        rel_idx = np.flatnonzero(rel_mask)
+        if rel_idx.size:
+            ridx = pa.array(pidx[rel_idx])
+            base_dir = pc.replace_substring_regex(base, r"[^/]*$", "")
+            rel_vals = pc.binary_join_element_wise(
+                pc.take(base_dir, ridx),
+                pc.take(trimmed, pa.array(rel_idx)),
+                "",
+            )
+            rmask = pa.array(rel_mask)
+            canon = pc.replace_with_mask(canon, rmask, rel_vals)
+            host = pc.replace_with_mask(
+                host, rmask, pc.take(rb.column(disc_host_col), ridx)
+            )
+
+        slow_idx = np.flatnonzero(slow_mask)
+        if slow_idx.size:
+            lks = pc.take(trimmed, pa.array(slow_idx)).to_pylist()
+            bss = pc.take(base, pa.array(pidx[slow_idx])).to_pylist()
+            res = [resolve_outlink(b, l) for b, l in zip(bss, lks)]
+            smask = pa.array(slow_mask)
+            canon = pc.replace_with_mask(canon, smask, pa.array(res, pa.string()))
+            host = pc.replace_with_mask(
+                host,
+                smask,
+                pa.array(
+                    [host_of(c) if c is not None else None for c in res],
+                    pa.string(),
+                ),
+            )
+
+        kept_idx = np.flatnonzero(
+            pc.is_valid(canon).to_numpy(zero_copy_only=False)
+        )
+        if kept_idx.size == 0:
+            return None
+        # within-page dedup, first occurrence wins (identical value either
+        # way: host/reg are functions of canon)
+        ktbl = pa.table(
+            {
+                "p": pa.array(pidx[kept_idx]),
+                "c": pc.take(canon, pa.array(kept_idx)),
+                "i": pa.array(kept_idx),
+            }
+        )
+        fi = np.sort(
+            ktbl.group_by(["p", "c"])
+            .aggregate([("i", "min")])
+            .column("i_min")
+            .to_numpy(zero_copy_only=False)
+        )
+        fi_arr = pa.array(fi)
+        fp = pidx[fi]
+
+        # OPIC cash: parent_priority / resolved-unique outlinks of the page
+        counts = np.bincount(fp, minlength=n_pages)
+        prio = rb.column(priority_col).to_numpy(zero_copy_only=False)
+        cash = prio[fp] / counts[fp]
+
+        host_final = pc.take(host, fi_arr)
+        uniq = pc.unique(pc.drop_null(host_final))
+        uniq_py = uniq.to_pylist()
+        reg_vals = pa.array(
+            [_reg_domain_cached(h) for h in uniq_py], pa.string()
+        )
+        reg_final = pc.take(reg_vals, pc.index_in(host_final, value_set=uniq))
+
+        fp_arr = pa.array(fp)
+        cols = [pc.take(rb.column(name), fp_arr) for name in passthrough]
+        cols += [
+            pa.array(cash, pa.float64()),
+            pc.take(canon, fi_arr),
+            host_final,
+            reg_final,
+        ]
+        names = list(passthrough) + [
+            "cash", "cand_canon", "cand_host", "cand_reg_domain",
+        ]
+        return pa.RecordBatch.from_arrays(cols, names=names)
+
+    def fn(batches):
+        for rb in batches:
+            out = _one(rb)
+            if out is not None:
+                yield out
+
+    return fn

@@ -25,6 +25,7 @@ def _resolved_set(df):
 def test_jvm_variants_match_arrow_loop(spark):
     from bitextor_spark.frontier.world import spark_world
     from tools.bench_discovery_ab import (
+        arrow_flat_plan,
         jvm_naive_plan,
         jvm_tagged_plan,
         old_plan,
@@ -41,3 +42,12 @@ def test_jvm_variants_match_arrow_loop(spark):
         got_set, got_n = _resolved_set(plan(pages))
         assert got_n == base_n, plan.__name__
         assert got_set == base_set, plan.__name__
+    # the ENGINE's shipped flat path (mapInArrow, RE2-veto re-expression of
+    # the lookahead regex): identical multiset, flat row form
+    flat = arrow_flat_plan(pages).select(
+        F.col("disc_url").alias("disc"),
+        "cand_canon", "cand_host", "cand_reg_domain",
+    ).collect()
+    flat_set = {tuple(r) for r in flat}
+    assert len(flat) == base_n
+    assert flat_set == base_set

@@ -132,3 +132,47 @@ def test_psl_full_matcher():
     # private-section platforms: each subdomain is its own site key
     assert registered_domain("user.github.io") == "user.github.io"
     assert registered_domain("deep.user.github.io") == "user.github.io"
+
+
+def test_clean_abs_re2_veto_form_equivalent():
+    """The flat resolver re-expresses _CLEAN_ABS_RE (which uses lookaheads
+    RE2 cannot run) as a broad RE2 match + three vetoes. Pin the two forms
+    equivalent over a generated corpus that exercises every boundary: www
+    prefixes, dot segments, duplicate slashes, case, ports, queries,
+    fragments, escapes, userinfo, relative forms, unicode."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bitextor_spark.functions.urls import (
+        _ABS_BROAD_RE2,
+        _CLEAN_ABS_RE,
+    )
+
+    schemes = ["http", "https", "HTTP", "ftp", ""]
+    hosts = ["ex.com", "a.b.ex.com", "www.ex.com", "www2.ex.com", "wwwx.ex.com",
+             "EX.com", "ex", "ex..com", "-x.com", "ex.com:80", "u:p@ex.com"]
+    paths = ["/", "/a.html", "/a/b.html", "", "/a//b", "/.hid", "/a/.h",
+             "/a%20b", "/a?q=1", "/a#f", "/a b", "/ünï", "/a/", "/..", "/a/../b",
+             "/trailing.", "/~u/p_x-1.htm"]
+    corpus = [f"{s}://{h}{p}" for s, h, p in itertools.product(schemes, hosts, paths)]
+    corpus += ["rel.html", ".hidden", "", "//proto-rel.com/x", "mailto:x@y",
+               "javascript:void(0)", "http:/one-slash.com/x"]
+
+    arr = pa.array(corpus)
+    ex = pc.extract_regex(arr, _ABS_BROAD_RE2)
+    h = pc.struct_field(ex, "h")
+    p = pc.struct_field(ex, "p")
+    veto = pc.or_kleene(
+        pc.match_substring_regex(h, r"^www[0-9]*\."),
+        pc.or_kleene(pc.match_substring(p, "//"), pc.match_substring(p, "/.")),
+    )
+    re2_mask = (
+        pc.and_kleene(pc.is_valid(ex), pc.invert(veto))
+        .fill_null(False)
+        .to_pylist()
+    )
+    lookahead_mask = [bool(_CLEAN_ABS_RE.match(s)) for s in corpus]
+    diffs = [s for s, a, b in zip(corpus, re2_mask, lookahead_mask) if a != b]
+    assert not diffs, f"{len(diffs)} divergent: {diffs[:10]}"
