@@ -6,8 +6,8 @@ One epoch = one Spark job pipeline:
      ⋈ pages (status/duration)  ⋈ robots (broadcast)  ⋈ host_state
      ──groupBy(host).applyInArrow(politeness walk)──► fetch events
      ──window(order by start,host,url)──► fetch_log seq (exact order)
-     events ⋈ pages.outlinks ──explode──► raw links
-     ──resolve+canonicalize (Arrow UDF)──► candidates
+     events ⋈ pages.outlinks ──mapInArrow flat resolver──► raw links
+     (RE2-classified in-batch: resolve+canonicalize+explode+page dedup)
      ──scope rules (JVM exprs)──► in/out + per-host reject metrics
      ──wave dedup (window rank)──► unique new URLs
      ──bloom prefilter + exact anti-join vs frontier──► admitted
