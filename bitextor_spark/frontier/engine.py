@@ -1011,8 +1011,7 @@ class FrontierEngine:
 
         raw_links = disc_in.mapInArrow(
             make_flat_resolver(
-                "disc_url", "outlinks", "disc_host", "parent_priority",
-                _passthrough,
+                "disc_url", "outlinks", "parent_priority", _passthrough,
             ),
             StructType(
                 [disc_in.schema[name] for name in _passthrough]

@@ -414,7 +414,6 @@ _REL_RE2 = r"^[A-Za-z0-9_~-][A-Za-z0-9._~-]*$"
 def make_flat_resolver(
     base_col: str,
     links_col: str,
-    disc_host_col: str,
     priority_col: str,
     passthrough: list[str],
 ):
@@ -507,10 +506,21 @@ def make_flat_resolver(
                 pc.take(trimmed, pa.array(rel_idx)),
                 "",
             )
+            # host comes from the BASE itself (canonical form:
+            # scheme://host[:port]/...), NOT from a caller-supplied host
+            # column — host_of(base_dir + link) == base's host by
+            # construction, and deriving it here keeps the resolver
+            # correct for callers whose disc_host differs from the base
+            base_host = pc.struct_field(
+                pc.extract_regex(
+                    base, r"^(?:http|https)://(?P<bh>[^/:]+)"
+                ),
+                "bh",
+            )
             rmask = pa.array(rel_mask)
             canon = pc.replace_with_mask(canon, rmask, rel_vals)
             host = pc.replace_with_mask(
-                host, rmask, pc.take(rb.column(disc_host_col), ridx)
+                host, rmask, pc.take(base_host, ridx)
             )
 
         slow_idx = np.flatnonzero(slow_mask)

@@ -51,3 +51,87 @@ def test_jvm_variants_match_arrow_loop(spark):
     flat_set = {tuple(r) for r in flat}
     assert len(flat) == base_n
     assert flat_set == base_set
+
+
+def test_flat_resolver_adversarial_edges(spark):
+    """Edge rows the synthetic worlds never generate, pinned flat-vs-loop:
+    control-char whitespace (Python strips \\x1c, RE2's White_Space does
+    not — must fall to the slow path, not diverge), null links inside the
+    array, empty arrays, NULL/empty base, base containing '%' (clean-rel
+    veto), links that need every canonicalization rule, and duplicate
+    spellings that collapse within the page."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from bitextor_spark.functions.urls import (
+        make_flat_resolver,
+        resolve_outlinks_arr_udf,
+    )
+
+    rows = [
+        ("http://ex.com/a/base.html", "h.ex.com", 2.0,
+         ["p1.html", " p1.html ", "\x1chttp://ex.com/c1.html",
+          "HTTP://EX.COM:80/up.html?PHPSESSID=deadbeef#f",
+          "http://www3.ex.com/w.html", None, "", "   ",
+          "../up/esc.html", "mailto:x@y", "p1.html",
+          "http://ex.com/ok/fine.html", "http://ex.com/ok//dup.html"]),
+        ("http://pc.ex.com/%20enc/base.html", "pc.ex.com", 1.0,
+         ["rel.html", "http://ex.com/abs.html"]),   # % base: rel via slow path
+        (None, "null.ex.com", 1.0, ["p1.html"]),    # null base -> no rows
+        ("http://empty.ex.com/x.html", "empty.ex.com", 1.0, []),
+        ("http://nullarr.ex.com/x.html", "nullarr.ex.com", 1.0, None),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url_canon string, disc_host string, parent_priority double, "
+        "outlinks array<string>",
+    )
+
+    old = (
+        pages.select(
+            "url_canon", "parent_priority",
+            resolve_outlinks_arr_udf(
+                "url_canon", F.slice("outlinks", 1, 100)
+            ).alias("_r"),
+        )
+        .withColumn(
+            "cash",
+            F.when(
+                F.size("_r") > 0, F.col("parent_priority") / F.size("_r")
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(F.col("url_canon").alias("disc"), "cash",
+                F.explode("_r").alias("r"))
+        .select("disc", "cash", "r.url_canon", "r.host", "r.reg_domain")
+        .collect()
+    )
+    old_set = {(r[0], round(r[1], 9), r[2], r[3], r[4]) for r in old}
+
+    in_df = pages.select(
+        F.col("url_canon").alias("disc_url"),
+        F.slice("outlinks", 1, 100).alias("outlinks"),
+        "disc_host", "parent_priority",
+    )
+    fn = make_flat_resolver(
+        "disc_url", "outlinks", "parent_priority", ["disc_url"]
+    )
+    new = in_df.mapInArrow(
+        fn,
+        StructType([
+            StructField("disc_url", StringType()),
+            StructField("cash", DoubleType()),
+            StructField("cand_canon", StringType()),
+            StructField("cand_host", StringType()),
+            StructField("cand_reg_domain", StringType()),
+        ]),
+    ).collect()
+    new_set = {(r[0], round(r[1], 9), r[2], r[3], r[4]) for r in new}
+
+    assert len(old) == len(new)
+    assert old_set == new_set
+    # the null/empty/None-array pages must emit nothing
+    discs = {r[0] for r in new}
+    assert not discs & {None, "http://empty.ex.com/x.html",
+                        "http://nullarr.ex.com/x.html"}

@@ -79,8 +79,7 @@ def arrow_flat_plan(pages):
     )
     return in_df.mapInArrow(
         make_flat_resolver(
-            "disc_url", "outlinks", "disc_host", "parent_priority",
-            ["disc_url"],
+            "disc_url", "outlinks", "parent_priority", ["disc_url"],
         ),
         StructType([
             StructField("disc_url", StringType()),
