@@ -1039,34 +1039,47 @@ class FrontierEngine:
             ).otherwise(F.lit(0)).cast("int").alias("trans_hops"),
             F.col("cash").alias("priority"),
         )
-        # localCheckpoint (eager), not cache(): the metrics join tree below
-        # references this subtree from several branches inside ONE job — a
-        # lazy cache lets those branches race to compute the python stages
-        # redundantly; eager materialization runs them exactly once.
-        scoped = self._pin(apply_scope(candidates, seed_domains, self.robots, cfg))
-        mark('discovery_dag')
-        scope_rejects = (
-            scoped.filter(~F.col("in_scope"))
-            .groupBy("host").count()
-            .withColumnRenamed("count", "skipped_scope")
-        )
-
-        # --- wave dedup: first discoverer in global fetch order wins.
-        # groupBy + min(struct) instead of a window: identical winner (the
-        # (fetch_start_ms, disc_host, disc_url) key is unique per candidate
-        # URL), but partial map-side aggregation shuffles one row per
-        # distinct URL instead of every discovery row.
-        in_scope = scoped.filter(F.col("in_scope"))
-        grouped = (
-            in_scope.groupBy("url_canon")
+        # --- wave dedup + scope metrics: ONE aggregation consumes the
+        # resolver output. min(struct) over the in-scope rows picks the
+        # first discoverer in global fetch order (identical winner to a
+        # window: the (fetch_start_ms, disc_host, disc_url) key is unique
+        # per candidate URL) while the same pass counts in-scope
+        # discoveries (n_disc, the dupe counter) and out-of-scope rejects
+        # (n_reject, the C17 metric) — host is a pure function of
+        # url_canon, so the reject counter regroups exactly. Partial
+        # map-side aggregation shrinks the shuffle to one row per distinct
+        # URL, and the O(discovered-links) resolver output is never
+        # checkpointed (it used to be the epoch's largest block-store
+        # write, re-scanned again by the metrics write at commit).
+        scoped = apply_scope(candidates, seed_domains, self.robots, cfg)
+        grouped_all = self._pin(
+            scoped.groupBy("url_canon")
             .agg(
                 F.min(
-                    F.struct("fetch_start_ms", "disc_host", "disc_url",
-                             "hop", "seed_id", "host", "trans_hops",
-                             "priority")
+                    F.when(
+                        F.col("in_scope"),
+                        F.struct("fetch_start_ms", "disc_host", "disc_url",
+                                 "hop", "seed_id", "host", "trans_hops",
+                                 "priority"),
+                    )
                 ).alias("w"),
-                F.count(F.lit(1)).alias("n_disc"),
+                F.sum(
+                    F.when(F.col("in_scope"), 1).otherwise(0)
+                ).alias("n_disc"),
+                F.sum(
+                    F.when(~F.col("in_scope"), 1).otherwise(0)
+                ).alias("n_reject"),
+                F.max("host").alias("_any_host"),
             )
+        )
+        mark('discovery_dag')
+        scope_rejects = (
+            grouped_all.filter(F.col("n_reject") > 0)
+            .groupBy(F.col("_any_host").alias("host"))
+            .agg(F.sum("n_reject").alias("skipped_scope"))
+        )
+        grouped = (
+            grouped_all.filter(F.col("w").isNotNull())
             .select(
                 "url_canon",
                 F.col("w.host").alias("host"),
@@ -1079,10 +1092,10 @@ class FrontierEngine:
             .withColumn("url_hash", F.xxhash64("url_canon"))
         )
         # --- seen check: bloom prefilter + exact anti-join on the residue ---
-        # The bloom flag pass and the wave-dedup groupBy materialize as ONE
-        # pinned intermediate (the flag is a cogrouped map over the grouped
-        # output — fusing them saves a job barrier per epoch); n_disc rides
-        # along for the per-host dupe counter.
+        # The flag cogroup reads the pinned aggregate (narrow filter +
+        # projection), and its own output pins because THREE commit-pool
+        # writes (frontier_delta, bloom_pending, metrics) branch off the
+        # admitted set; n_disc rides along for the per-host dupe counter.
         if self.use_bloom:
             blooms = self._load("blooms")
             grouped = self._pin(
@@ -1113,7 +1126,8 @@ class FrontierEngine:
                     "url_hash", "left_anti",
                 )
         else:
-            grouped = self._pin(grouped)
+            # no second pin: grouped is a narrow projection of the pinned
+            # aggregate, which every consumer below re-reads directly
             admitted = grouped.drop("n_disc").join(
                 self._base_urls(), "url_hash", "left_anti"
             )
