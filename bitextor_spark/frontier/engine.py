@@ -437,9 +437,18 @@ class FrontierEngine:
         compaction)) and threads it through every view below — it feeds
         two branches of the candidate DAG plus the discovery anti-join and
         the broadcast build, so recomputing it per consumer multiplies the
-        delta groupBy."""
+        delta groupBy. A single-epoch delta log (one append since the last
+        compaction — the manifest lists one path) is already single-version
+        per url_hash (a URL changes at most once per epoch, and an epoch's
+        attempted and admitted sets are disjoint), so the latest-wins
+        groupBy is the identity and its exchange is skipped."""
         deltas = self._deltas("frontier_delta")
-        return None if deltas is None else self._latest_wins(deltas)
+        if deltas is None:
+            return None
+        m = self.catalog.load_manifest()
+        if len(m["tables"]["frontier_delta"]["paths"]) <= 1:
+            return deltas
+        return self._latest_wins(deltas)
 
     def _merge_latest(self, base: DataFrame, latest: DataFrame) -> DataFrame:
         """base (single-version) merged with the latest delta versions.
@@ -916,6 +925,27 @@ class FrontierEngine:
         ).parquet(events_path)
 
         mark('plan_candidates')
+        # adaptive compaction, decided as soon as the attempt count is
+        # known (staged events file's parquet footers — driver-local
+        # metadata read, no job): rewrite the base once the pending delta
+        # log reaches compact_delta_ratio of the frontier (cheap at small
+        # scale where that is every epoch; rare at web scale), with
+        # frontier_compact_epochs as a hard interval cap. Decided here,
+        # as soon as the staged events file exists, BEFORE the commit pool
+        # so every table write runs concurrently. The
+        # admission count, unknown until the metrics write finishes, is
+        # left out of the trigger — compaction timing is a pure cost knob
+        # (any cadence is exact, per the cadence-invariance parity test),
+        # and the recorded delta_rows below uses the true value.
+        prev_frontier_rows = int(
+            meta.get("frontier_rows", meta.get("queued", 0))
+        )
+        n_attempts_staged = _parquet_rows(events_path)
+        compact = (
+            int(meta.get("delta_rows", 0)) + n_attempts_staged
+            >= cfg.compact_delta_ratio * max(prev_frontier_rows, 1)
+            or (epoch + 1) % max(cfg.frontier_compact_epochs, 1) == 0
+        )
         # fetch_log stores events only (incl. the politeness cursor as
         # lineage); the exact global sequence is DERIVED at read time from
         # the total order (epoch, fetch_start_ms, host, url_canon) —
@@ -1093,41 +1123,46 @@ class FrontierEngine:
         )
         # --- seen check: bloom prefilter + exact anti-join on the residue ---
         # The flag cogroup reads the pinned aggregate (narrow filter +
-        # projection), and its own output pins because THREE commit-pool
-        # writes (frontier_delta, bloom_pending, metrics) branch off the
-        # admitted set; n_disc rides along for the per-host dupe counter.
+        # projection); what pins is the ADMITTED set, because THREE
+        # commit-pool writes (frontier_delta, bloom_pending, metrics'
+        # queued counter) branch off it — unpinned they would each
+        # re-evaluate the flag cogroup and both anti-joins concurrently.
+        # The per-host dupe/unique counters need only pre-flag columns, so
+        # they read the pinned aggregate directly.
         if self.use_bloom:
             blooms = self._load("blooms")
-            grouped = self._pin(
-                seen_mod.flag_maybe_seen(
-                    grouped, blooms, cfg.num_host_shards,
-                    cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
-                )
-            )
-            definitely_new = grouped.filter(~F.col("maybe_seen")).drop(
-                "maybe_seen", "n_disc"
-            )
-            maybe = grouped.filter(F.col("maybe_seen")).drop(
-                "maybe_seen", "n_disc"
-            )
-            # presence = in base OR in delta log; two anti-joins so the
-            # base side reuses the cross-epoch persisted layout and the
-            # delta side stays a broadcast (gated) — never a fresh
-            # O(frontier) exchange per epoch. The delta check covers
-            # definitely_new too: blooms are merge-on-read (folded only at
+            flagged = seen_mod.flag_maybe_seen(
+                grouped, blooms, cfg.num_host_shards,
+                cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+            ).drop("n_disc")
+            # presence = in base OR in delta log. The base check is ONE
+            # left join carrying a presence marker (kept rows: bloom-miss
+            # OR base-miss) rather than a definitely-new ∪ anti-join(maybe)
+            # union — a union would reference the unpinned cogroup from two
+            # branches of the pin job and evaluate the Python flag pass
+            # twice. A bloom-miss row can't be in the base (that is the
+            # bloom's guarantee), so joining it costs nothing semantically;
+            # the base side reuses the cross-epoch persisted url_hash
+            # layout, the delta side stays a broadcast (gated) — never a
+            # fresh O(frontier) exchange per epoch. The delta check covers
+            # bloom-miss rows too: blooms are merge-on-read (folded only at
             # compaction), so a bloom miss proves absence from the BASE
             # only — admissions since the last compaction live in the
             # delta log alone.
-            really_new = maybe.join(self._base_urls(), "url_hash", "left_anti")
-            admitted = definitely_new.unionByName(really_new)
+            admitted = (
+                flagged.join(
+                    self._base_urls().withColumn("_in_base", F.lit(True)),
+                    "url_hash", "left",
+                )
+                .filter(~F.col("maybe_seen") | F.col("_in_base").isNull())
+                .drop("maybe_seen", "_in_base")
+            )
             if latest is not None:
                 admitted = admitted.join(
                     self._delta_hint(latest.select("url_hash")),
                     "url_hash", "left_anti",
                 )
         else:
-            # no second pin: grouped is a narrow projection of the pinned
-            # aggregate, which every consumer below re-reads directly
             admitted = grouped.drop("n_disc").join(
                 self._base_urls(), "url_hash", "left_anti"
             )
@@ -1136,6 +1171,11 @@ class FrontierEngine:
                     self._delta_hint(latest.select("url_hash")),
                     "url_hash", "left_anti",
                 )
+        # Pin the admitted set (eager localCheckpoint — measured better
+        # than fusing this pin with the bloom_pending delta write: staging
+        # that write here serializes it, while in the commit pool it
+        # overlaps the other table writes for free).
+        admitted = self._pin(admitted)
         # every duplicate discovery of a URL shares the URL's host, so the
         # per-host dupe counter is derivable without ranking individual rows
         wave_dupes = grouped.groupBy("host").agg(
@@ -1206,30 +1246,12 @@ class FrontierEngine:
             F.sum("failed").alias("fl"), F.sum("errors").alias("e"),
         )
 
-        # --- commit: MOR deltas, adaptive compaction ---
+        # --- commit: MOR deltas, adaptive compaction (`compact` was
+        # decided right after the events write, where the attempt count
+        # first became known) ---
         replace: dict[str, DataFrame] = {}
         append: dict[str, DataFrame] = {"metrics": metrics}
         drop: list[str] = []
-        # adaptive compaction: rewrite the base once the pending delta log
-        # reaches compact_delta_ratio of the frontier (cheap at small
-        # scale where that is every epoch; rare at web scale), with
-        # frontier_compact_epochs as a hard interval cap. Decided BEFORE
-        # the commit pool so every table write runs concurrently: the
-        # attempt count comes from the staged events file's parquet
-        # footers (driver-local metadata read, no job); the admission
-        # count, unknown until the metrics write finishes, is left out of
-        # the trigger — compaction timing is a pure cost knob (any cadence
-        # is exact, per the cadence-invariance parity test), and the
-        # recorded delta_rows below uses the true value.
-        prev_frontier_rows = int(
-            meta.get("frontier_rows", meta.get("queued", 0))
-        )
-        n_attempts_staged = _parquet_rows(events_path)
-        compact = (
-            int(meta.get("delta_rows", 0)) + n_attempts_staged
-            >= cfg.compact_delta_ratio * max(prev_frontier_rows, 1)
-            or (epoch + 1) % max(cfg.frontier_compact_epochs, 1) == 0
-        )
         if compact:
             # rewrite the base as the merged view (including this epoch's
             # delta) and drop the delta logs — read amplification resets.
