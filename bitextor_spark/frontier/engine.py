@@ -8,9 +8,10 @@ One epoch = one Spark job pipeline:
      ──window(order by start,host,url)──► fetch_log seq (exact order)
      events ⋈ pages.outlinks ──mapInArrow flat resolver──► raw links
      (RE2-classified in-batch: resolve+canonicalize+explode+page dedup)
-     ──scope rules (JVM exprs)──► in/out + per-host reject metrics
-     ──wave dedup (window rank)──► unique new URLs
-     ──bloom prefilter + exact anti-join vs frontier──► admitted
+     ──scope rules (JVM exprs) + ONE groupBy(url)──► first-discoverer
+     winner, in-scope dupe count, per-host reject count (fused pass)
+     ──bloom prefilter + base-presence left join + delta anti-join──►
+     admitted (pinned once; three commit writes branch off it)
      ──► frontier ∪ admitted ; snapshot commit (atomic manifest)
 
 Parallelism-independence: every nondeterministic boundary is closed by an
@@ -522,6 +523,35 @@ class FrontierEngine:
         self._queued_base_cache = (key, df)
         return df
 
+    def _base_host_counts(self) -> DataFrame:
+        """Per-host row count of the QUEUED base — the hot-host bound's
+        base-side term, aggregated ONCE per compaction (cache keyed on the
+        base paths like _queued_base; O(distinct hosts) rows) so the
+        per-epoch gate scans only the O(delta) side instead of
+        re-aggregating the whole queued base every epoch. The counts
+        ignore not_before and changed keys — both only ever INFLATE a
+        host's count, preserving the gate's hot ⊇ true-hot upper-bound
+        invariant (a false-positive hot host pays one redundant rank; a
+        miss stays impossible)."""
+        m = self.catalog.load_manifest()
+        key = tuple(m["tables"]["frontier"]["paths"]) if m else None
+        cached: tuple | None = getattr(self, "_base_host_counts_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
+        df = (
+            self._queued_base()
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .persist()
+        )
+        self._base_host_counts_cache = (key, df)
+        return df
+
     def _base_urls(self) -> DataFrame:
         """url_hash set of the frontier BASE, hash-partitioned + sorted +
         persisted ACROSS epochs — the base is immutable between
@@ -758,23 +788,25 @@ class FrontierEngine:
         # queued set per epoch for a near-no-op, so the rank is gated: a
         # narrow UPPER-BOUND count pass finds possibly-over-cap hosts and
         # only THEIR rows pay the rank shuffle; every other host's rows
-        # pass through with no exchange at all. The bound reads only the
-        # cached base + pinned delta projections (no anti-join, no
-        # broadcast build, no pages join — a changed base row counts on
-        # both sides), so hot ⊇ true-hot always holds: a false positive
-        # ranks one extra host, a miss is impossible, and walk groups stay
-        # ≤ k_cap + blocked. Driver list bounded by _HOT_HOST_GATE (same
-        # discipline as delta_broadcast_rows); above it → the full
-        # skew-proof rank (correct at any skew shape).
-        bound_sides = self._queued_base().select("host", "not_before_ms")
+        # pass through with no exchange at all. The bound's base-side term
+        # is the per-compaction cached host-count table (O(hosts), see
+        # _base_host_counts) and its per-epoch work is one groupBy over
+        # the pinned delta projection — O(changes), never an O(queued)
+        # scan per epoch. Every relaxation (not_before ignored, changed
+        # base rows counted on both sides) inflates counts, so
+        # hot ⊇ true-hot always holds: a false positive ranks one extra
+        # host, a miss is impossible, and walk groups stay ≤ k_cap +
+        # blocked. Driver list bounded by _HOT_HOST_GATE (same discipline
+        # as delta_broadcast_rows); above it → the full skew-proof rank
+        # (correct at any skew shape).
+        bound = self._base_host_counts()
         if latest is not None:
-            bound_sides = bound_sides.unionByName(
+            bound = bound.unionByName(
                 latest.filter(F.col("state") == "QUEUED")
-                .select("host", "not_before_ms")
+                .groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
             )
         hot_df = (
-            bound_sides.filter(F.col("not_before_ms") <= epoch_start)
-            .groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+            bound.groupBy("host").agg(F.sum("_n").alias("_n"))
             .filter(F.col("_n") > k_cap).select("host")
         )
         # count-then-collect (NOT limit().collect(): CollectLimit executes
@@ -1131,10 +1163,13 @@ class FrontierEngine:
         # they read the pinned aggregate directly.
         if self.use_bloom:
             blooms = self._load("blooms")
+            # n_disc drops BEFORE the cogroup: the dupe counter is read
+            # from the pinned aggregate, not the flag output, so it must
+            # not ride the Arrow transfer through the Python flag pass
             flagged = seen_mod.flag_maybe_seen(
-                grouped, blooms, cfg.num_host_shards,
+                grouped.drop("n_disc"), blooms, cfg.num_host_shards,
                 cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
-            ).drop("n_disc")
+            )
             # presence = in base OR in delta log. The base check is ONE
             # left join carrying a presence marker (kept rows: bloom-miss
             # OR base-miss) rather than a definitely-new ∪ anti-join(maybe)
