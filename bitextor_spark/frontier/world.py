@@ -304,6 +304,7 @@ def spark_world(
     mean_outlinks: int = 12,
     seed: int = 42,
     n_seeds: int | None = None,
+    with_images: bool = False,
 ) -> dict[str, DataFrame]:
     """Distributed synthetic world for benchmarks — pure JVM expressions.
 
@@ -364,4 +365,25 @@ def spark_world(
         .withColumn("seed_id", F.col("id").cast("int"))
         .select("seed_url", "seed_id")
     )
-    return {"pages": df, "robots": robots, "seeds": seeds}
+    out = {"pages": df, "robots": robots, "seeds": seeds}
+    if with_images:
+        # Distributed image synthesis: one input_hint-shaped row per page,
+        # fully determined by (image_id, seed) — the same generator the
+        # engine's verify wave regenerates its reference from, so the
+        # packaged crawl can exercise the M4 payload gate end to end.
+        from bitextor_spark.functions.images import make_image_row
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [make_image_row(i, salt=seed) for i in pdf["image_id"]]
+                )
+
+        out["images"] = df.select("image_id").mapInPandas(
+            gen,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
+    return out

@@ -105,7 +105,8 @@ def main(argv=None) -> int:
 
         n = args.synthetic_world
         dfs = spark_world(spark, n_pages=n, n_hosts=max(n // 300, 4),
-                          mean_outlinks=10, seed=42, n_seeds=max(n // 5, 10))
+                          mean_outlinks=10, seed=42, n_seeds=max(n // 5, 10),
+                          with_images=args.verify_payloads)
         pages, robots, seeds = dfs["pages"], dfs["robots"], dfs["seeds"]
         images = dfs.get("images")
     else:
@@ -117,6 +118,9 @@ def main(argv=None) -> int:
         seeds = spark.read.parquet(args.seeds_table)
         if args.images_table:
             images = spark.read.parquet(args.images_table)
+    if args.verify_payloads and images is None:
+        raise SystemExit("--verify-payloads needs an images source "
+                         "(--images-table, or synthetic-world mode)")
 
     eng = FrontierEngine(
         spark, cfg, args.catalog_root, pages, robots, seeds,
