@@ -38,6 +38,26 @@ DEFAULT_RERANK_PKL = os.path.join(_DATA_DIR, "rerank_model.pkl")
 DEFAULT_LANGID_TSV = os.path.join(_DATA_DIR, "langid_profile.tsv")
 
 
+def _default_artifact_bytes(name: str) -> bytes | None:
+    """Packaged default artifact, resolved through the import system.
+
+    ``importlib.resources`` reads the file whether ``bitextor_spark`` is a
+    checkout on disk OR a ``spark-submit --py-files`` zip (zipimport) —
+    a bare ``os.path`` probe on a ``__file__``-relative path silently
+    misses inside a zip, which would degrade the trained defaults to the
+    stand-ins on the cluster while the repo run uses the real artifacts.
+    Returns None when the artifact is absent (pre-training checkouts)."""
+    try:
+        from importlib import resources
+
+        p = resources.files("bitextor_spark").joinpath("data", name)
+        if p.is_file():
+            return p.read_bytes()
+    except Exception:
+        pass
+    return None
+
+
 class FixedLogisticRerank:
     """Default W2 stand-in: fixed-weight logistic over (z_chars, tok_ratio).
 
@@ -83,10 +103,10 @@ def load_rerank_model(path: str | None = None):
     via linear_rerank_params."""
     path = path or os.environ.get("BITEXTOR_SPARK_RERANK_MODEL")
     if not path:
-        if os.path.exists(DEFAULT_RERANK_PKL):
-            path = DEFAULT_RERANK_PKL
-        else:
+        blob = _default_artifact_bytes("rerank_model.pkl")
+        if blob is None:
             return FixedLogisticRerank()
+        return pickle.loads(blob)
     with open(path, "rb") as fh:
         return pickle.load(fh)
 
@@ -119,21 +139,22 @@ def load_langid_profile(
     from the per-language seed corpora), else the built-in fallback dict."""
     path = path or os.environ.get("BITEXTOR_SPARK_LANGID_PROFILE")
     if not path:
-        if os.path.exists(DEFAULT_LANGID_TSV):
-            path = DEFAULT_LANGID_TSV
-        else:
+        blob = _default_artifact_bytes("langid_profile.tsv")
+        if blob is None:
             assert default is not None
             return [
                 (lang, t)
                 for lang, tris in sorted(default.items())
                 for t in tris
             ]
+        lines = blob.decode("utf-8").splitlines()
+    else:
+        with open(path, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
     rows: list[tuple[str, str]] = []
-    with open(path, encoding="utf-8") as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
-                continue
-            lang, _, tri = line.partition("\t")
-            rows.append((lang, tri))
+    for line in lines:
+        if not line or line.startswith("#"):
+            continue
+        lang, _, tri = line.partition("\t")
+        rows.append((lang, tri))
     return rows

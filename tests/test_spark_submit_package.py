@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 import subprocess
+import sys
 
 import pytest
 
@@ -37,6 +38,29 @@ def test_spark_submit_packaged_crawl(tmp_path):
     assert build.returncode == 0, build.stderr[-2000:]
     zip_path = os.path.join(REPO, "dist", "bitextor_spark.zip")
     assert os.path.exists(zip_path)
+
+    # the TRAINED default artifacts must resolve from inside the zip —
+    # a __file__-relative os.path probe would silently degrade them to
+    # the stand-ins on a cluster (models.py reads via importlib.resources)
+    probe = subprocess.run(
+        [
+            sys.executable, "-c",
+            "from bitextor_spark.models import (load_langid_profile, "
+            "load_rerank_model, TrainedLogisticRerank);"
+            "rows = load_langid_profile();"
+            "assert len(rows) > 500, f'fallback profile from zip: {len(rows)}';"
+            "m = load_rerank_model();"
+            "assert isinstance(m, TrainedLogisticRerank), type(m).__name__;"
+            "print('zip artifacts ok', len(rows))",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": zip_path,
+             "BITEXTOR_SPARK_LANGID_PROFILE": "",
+             "BITEXTOR_SPARK_RERANK_MODEL": ""},
+        timeout=60,
+    )
+    assert probe.returncode == 0, probe.stderr[-2000:]
+    assert "zip artifacts ok" in probe.stdout
 
     env = {**os.environ, "PYTHONPATH": ""}
     run = subprocess.run(
