@@ -37,13 +37,25 @@ def stopword_count(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (0-based element_at via transform over indices)."""
+    """Word n-gram shingles (0-based element_at via transform over indices).
+
+    Docs with fewer than ``n`` tokens (and NULL/empty text) yield an EMPTY
+    array — matching the oracle's ``generate_series(1, greatest(len-n+1,
+    0))``. The guard must be a lazy ``when``: the former
+    ``sequence(0, greatest(size-n, -1))`` form emitted the DESCENDING
+    sequence ``[0, -1]`` for short docs (``sequence`` infers a negative
+    step when start > stop), and ``element_at`` then raised
+    INVALID_ARRAY_INDEX under ANSI mode on any real-world short document.
+    """
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -262,6 +262,62 @@ def simhash_pairs(
     return hamming_pairs(sh, bits, max_dist)
 
 
+def ngram_jaccard_pairs_carried(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: Column,
+    threshold: float,
+) -> DataFrame:
+    """Carried-size formulation of :func:`ngram_jaccard_pairs` (same exact
+    output): ``arr = array_distinct(shingles)`` is projected ONCE (the
+    multi-referenced non-cheap alias keeps CollapseProject from inlining
+    it), ``sz = size(arr)`` rides the exploded rows as one int, and the
+    pair aggregation recovers sza/szb with ``max()`` — eliminating the
+    separate sizes branch and its two paste joins.
+
+    MEASURED SLOWER ~4x than :func:`ngram_jaccard_pairs` at sf0.1/32c
+    (tools/bench_ngram_ab.py: median 9.95 s vs 2.55 s, outputs checksum-
+    identical): the multi-referenced ``arr`` alias under the Generate
+    defeats codegen subexpression handling, while v0's "duplicated" sizes
+    branch is a cheap independent codegen job whose paste joins AQE
+    broadcasts. Retained as the raced alternative (the registry uses v0);
+    forms pinned bit-identical in tests/test_dedup_forms.py."""
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingle_col).alias("arr"),
+    )
+    ex = base.select(
+        "doc",
+        F.size("arr").cast("int").alias("sz"),
+        F.explode("arr").alias("sh_str"),
+    ).select("doc", "sz", h64(F.col("sh_str")).alias("sh"))
+    exd = ex.dropDuplicates(["doc", "sh"])
+    inter = (
+        exd.alias("l")
+        .join(
+            exd.alias("r"),
+            (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max(F.col("l.sz")).alias("sza"),
+            F.max(F.col("r.sz")).alias("szb"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
