@@ -64,18 +64,31 @@ def _materialize(df) -> int:
     return 0
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark) -> tuple[dict[str, float], list[str]]:
     from bitextor_spark.queries import QUERIES
 
     # one untimed warm-up: session/scan/codegen warmup otherwise leaks into
     # the first measured query (q1 measured 3x its steady-state in r1)
     _materialize(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     out = {}
+    failed = []
     for name in HEADLINE:
-        t0 = time.time()
-        _materialize(QUERIES[name](spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
-    return out
+        # one transient failure (executor hiccup, noop-sink race) must not
+        # abort the whole unattended bench: retry once, then record the
+        # query as failed and keep going — a failed query is excluded from
+        # the total and surfaced in "failed_queries", never silently fast
+        for attempt in (0, 1):
+            t0 = time.time()
+            try:
+                _materialize(QUERIES[name](spark, SF_DIR))
+                out[name] = round(time.time() - t0, 3)
+                break
+            except Exception as exc:  # noqa: BLE001 - bench must survive
+                print(f"[bench] {name} attempt {attempt} failed: {exc}",
+                      file=sys.stderr, flush=True)
+        else:
+            failed.append(name)
+    return out, failed
 
 
 def _cpu_stat() -> dict | None:
@@ -378,6 +391,10 @@ def write_report(result: dict) -> None:
     ]
     for k, v in sorted(result["queries"].items(), key=lambda kv: -kv[1]):
         lines.append(f"| {k} | {v} |")
+    if result.get("failed_queries"):
+        lines.append(
+            f"| FAILED (excluded): {', '.join(result['failed_queries'])} | — |"
+        )
     lines += [
         "",
         f"**total: {result['value']} s**",
@@ -511,7 +528,7 @@ def main() -> None:
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
-    queries = run_headline(spark)
+    queries, failed_queries = run_headline(spark)
     dedup = dedup_bench(spark)
     spark.stop()
 
@@ -523,6 +540,8 @@ def main() -> None:
         "sf": sf_label,
         "dedup": dedup,
     }
+    if failed_queries:
+        result["failed_queries"] = failed_queries
 
     if DO_SCALING:
         import statistics
