@@ -253,6 +253,59 @@ def simhash_signatures(
     return cnt.select("doc", total.cast("bigint").alias("sh"))
 
 
+def simhash_signatures_packed(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """SWAR re-expression of :func:`simhash_signatures`: pack 3 per-bit
+    set-counters into each 64-bit sum (21-bit lanes: lane j of sum_k counts
+    bit ``k + j*ceil(bits/3)``), so the codegen hash-agg updates
+    ``ceil(bits/3)+1`` buffer slots per token instead of ``bits``. A lane
+    saturates only past 2^21-1 distinct tokens per doc — two orders of
+    magnitude beyond any real document. The sign test recovers the
+    Σ±1 form exactly: sign_b = (2*cnt_set_b − n_tokens) > 0.
+
+    MEASURED: no separation from the per-bit form beyond noise at
+    sf0.1/32c (tools/bench_simhash_ab.py — the agg buffer width is not
+    the cost; tokenize/md5/explode volume is). The simpler per-bit form
+    stays shipped; this one is retained as the raced alternative, pinned
+    bit-identical in tests/test_dedup_forms.py."""
+    stride = (bits + 2) // 3  # lanes per sum; bit b lives in sum_{b % stride}
+    ex = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(token_hashes(F.col(text_col))).alias("h"),
+    )
+    aggs = []
+    for k in range(stride):
+        lanes = [b for b in (k, k + stride, k + 2 * stride) if b < bits]
+        packed = None
+        for j, b in enumerate(lanes):
+            lane = (
+                F.shiftrightunsigned("h", b)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+            )
+            shifted = F.shiftleft(lane, 21 * j) if j else lane
+            packed = shifted if packed is None else packed + shifted
+        aggs.append(
+            F.sum(
+                F.when(F.col("h").isNull(), F.lit(0)).otherwise(packed)
+            ).alias(f"s{k}")
+        )
+    aggs.append(F.count("h").alias("n"))  # count skips nulls
+    cnt = ex.groupBy("doc").agg(*aggs)
+    total = F.lit(0)
+    mask = (1 << 21) - 1
+    for b in range(bits):
+        k, j = b % stride, b // stride
+        c = F.shiftrightunsigned(F.col(f"s{k}"), 21 * j).bitwiseAND(
+            F.lit(mask)
+        )
+        total = total + F.when(
+            c * 2 > F.col("n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return cnt.select("doc", total.cast("bigint").alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_dist: int = 4
 ) -> DataFrame:

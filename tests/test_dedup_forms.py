@@ -17,6 +17,7 @@ from bitextor_spark.operators.dedup import (
     ngram_jaccard_pairs_carried,
     simhash_col,
     simhash_signatures,
+    simhash_signatures_packed,
 )
 
 DOCS = [
@@ -45,6 +46,13 @@ def test_simhash_forms_identical(spark):
             for r in simhash_signatures(df, "doc_id", "text", bits).collect()
         }
         assert agg == per_row, f"bits={bits}: {agg} != {per_row}"
+        packed = {
+            r["doc"]: r["sh"]
+            for r in simhash_signatures_packed(
+                df, "doc_id", "text", bits
+            ).collect()
+        }
+        assert packed == per_row, f"bits={bits}: {packed} != {per_row}"
     # the edge rows land at 0, dup docs collide
     assert agg[3] == agg[4] == agg[5] == 0
     assert agg[1] == agg[7] != 0
