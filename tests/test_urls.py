@@ -176,3 +176,52 @@ def test_clean_abs_re2_veto_form_equivalent():
     lookahead_mask = [bool(_CLEAN_ABS_RE.match(s)) for s in corpus]
     diffs = [s for s, a, b in zip(corpus, re2_mask, lookahead_mask) if a != b]
     assert not diffs, f"{len(diffs)} divergent: {diffs[:10]}"
+
+
+def test_clean_abs_re2_veto_form_equivalent_fuzz():
+    """Property fuzz of the same RE2-vs-lookahead equivalence: random
+    compositions of URL fragments (schemes, separators, www variants, dot
+    segments, escapes, unicode, whitespace) hit boundary shapes the
+    handcrafted product corpus above does not enumerate. Pure
+    Python+Arrow — no Spark session — so thousands of strings are cheap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitextor_spark.functions.urls import _ABS_BROAD_RE2, _CLEAN_ABS_RE
+
+    frag = st.sampled_from([
+        "http", "https", "HTTP", "hTtP", "ftp", "file", "://", ":/", ":",
+        "//", "/", "www", "www2", "www10", "wwwx", "w", ".", "..", "ex",
+        "com", "a", "b-1", "_u", "~p", "?q=1", "#f", "%20", "%zz", ":80",
+        ":8080", "@", "u:p@", "ü", "é", " ", "\t", "", "mailto:", "void(0)",
+    ])
+    url_strings = st.lists(frag, min_size=0, max_size=12).map("".join)
+
+    def lookahead(s: str) -> bool:
+        return bool(_CLEAN_ABS_RE.match(s))
+
+    def re2_veto(batch: list[str]) -> list[bool]:
+        ex = pc.extract_regex(pa.array(batch, type=pa.string()), _ABS_BROAD_RE2)
+        h = pc.struct_field(ex, "h")
+        p = pc.struct_field(ex, "p")
+        veto = pc.or_kleene(
+            pc.match_substring_regex(h, r"^www[0-9]*\."),
+            pc.or_kleene(pc.match_substring(p, "//"), pc.match_substring(p, "/.")),
+        )
+        return (
+            pc.and_kleene(pc.is_valid(ex), pc.invert(veto))
+            .fill_null(False)
+            .to_pylist()
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url_strings, min_size=1, max_size=64))
+    def run(batch):
+        got = re2_veto(batch)
+        want = [lookahead(s) for s in batch]
+        diffs = [s for s, a, b in zip(batch, got, want) if a != b]
+        assert not diffs, f"divergent: {diffs[:5]!r}"
+
+    run()
