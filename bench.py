@@ -154,12 +154,17 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
     from bitextor_spark.frontier.world import spark_world
     from bitextor_spark.session import get_spark
 
+    # AQE knob (A/B, see BENCH/BASELINE.md): the drained-epoch profile is
+    # dominated by many small 32-task shuffle stages; adaptive partition
+    # coalescing can collapse those waves, or its re-planning can add
+    # driver latency — measured, not assumed.
+    aqe = os.environ.get("SPARK_GRAFT_CRAWL_AQE", "0") == "1"
     spark = get_spark(
         app_name=f"crawl-bench-{cpus}",
         master=f"local[{cpus}]",
         # 2x cores: straggler absorption for the skewed host groups
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={"spark.sql.adaptive.enabled": "true" if aqe else "false"},
     )
     try:
         if warmup:

@@ -109,17 +109,56 @@ def main() -> None:
                     "tasks": si["Number of Tasks"],
                     "wall_ms": (si.get("Completion Time", 0)
                                 - si.get("Submission Time", 0)),
+                    "details": (si.get("Details") or "")[:200],
                 }
-    # task time percentiles per stage
+    # task time percentiles + aggregate IO metrics per stage
     task_ms = defaultdict(list)
+    stage_io = defaultdict(lambda: defaultdict(int))
+    stage_scopes = {}
     with open(path) as fh:
         for line in fh:
             ev = json.loads(line)
-            if ev.get("Event") == "SparkListenerTaskEnd":
+            e = ev.get("Event")
+            if e == "SparkListenerTaskEnd":
                 ti = ev.get("Task Info") or {}
                 sid = ev.get("Stage ID")
                 task_ms[sid].append(
                     ti.get("Finish Time", 0) - ti.get("Launch Time", 0))
+                tm = ev.get("Task Metrics") or {}
+                io = stage_io[sid]
+                io["run_ms"] += tm.get("Executor Run Time", 0)
+                io["cpu_ms"] += tm.get("Executor CPU Time", 0) // 1_000_000
+                io["gc_ms"] += tm.get("JVM GC Time", 0)
+                io["deser_ms"] += tm.get("Executor Deserialize Time", 0)
+                io["in_b"] += (tm.get("Input Metrics") or {}).get(
+                    "Bytes Read", 0)
+                sr = tm.get("Shuffle Read Metrics") or {}
+                io["sh_r_b"] += (sr.get("Local Bytes Read", 0)
+                                 + sr.get("Remote Bytes Read", 0))
+                io["sh_w_b"] += (tm.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0)
+                io["py_ms"] += sum(
+                    a.get("Update", 0) for a in ti.get("Accumulables", [])
+                    if isinstance(a.get("Update"), int)
+                    and "data sent to Python workers" == a.get("Name")
+                )
+            elif e == "SparkListenerStageSubmitted":
+                si = ev["Stage Info"]
+                scopes = []
+                for rdd in si.get("RDD Info", []):
+                    sc = rdd.get("Scope")
+                    if sc:
+                        try:
+                            scopes.append(json.loads(sc).get("name", ""))
+                        except Exception:
+                            pass
+                # innermost few operator scopes, deduped, newest first
+                seen_s, uniq = set(), []
+                for s in scopes:
+                    if s not in seen_s:
+                        seen_s.add(s)
+                        uniq.append(s)
+                stage_scopes[si["Stage ID"]] = ">".join(uniq[:6])
 
     by_group = defaultdict(list)
     for jid, j in sorted(jobs.items()):
@@ -142,10 +181,18 @@ def main() -> None:
         rows.sort(reverse=True)
         print(f"\n== group {label}  (sum stage wall {tot/1000:.1f}s, "
               f"{len(js)} jobs)")
-        for wms, jid, sid, nt, md, mx, cs, nm in rows[:14]:
+        for wms, jid, sid, nt, md, mx, cs, nm in rows[:18]:
+            io = stage_io.get(sid, {})
+            mb = 1024 * 1024
             print(f"  {wms/1000:6.2f}s job{jid:>3} stage{sid:>4} "
                   f"tasks={nt:<4} med={md/1000:5.2f}s max={mx/1000:5.2f}s "
-                  f"| {cs} | {nm}")
+                  f"run={io.get('run_ms',0)/1000:6.1f}s "
+                  f"cpu={io.get('cpu_ms',0)/1000:6.1f}s "
+                  f"gc={io.get('gc_ms',0)/1000:4.1f}s "
+                  f"in={io.get('in_b',0)/mb:6.0f}M "
+                  f"shR={io.get('sh_r_b',0)/mb:5.0f}M "
+                  f"shW={io.get('sh_w_b',0)/mb:5.0f}M "
+                  f"| {stage_scopes.get(sid, '')[:80]}")
     shutil.rmtree(evdir, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
 
