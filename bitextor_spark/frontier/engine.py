@@ -4,7 +4,7 @@ One epoch = one Spark job pipeline:
 
   queued frontier ──(per-host top-k prefix)──► schedulable candidates
      ⋈ pages (status/duration)  ⋈ robots (broadcast)  ⋈ host_state
-     ──groupBy(host).applyInArrow(politeness walk)──► fetch events
+     ──repartition(host)+sort, mapInArrow(politeness walk)──► fetch events
      ──window(order by start,host,url)──► fetch_log seq (exact order)
      events ⋈ pages.outlinks ──mapInArrow flat resolver──► raw links
      (RE2-classified in-batch: resolve+canonicalize+explode+page dedup)
@@ -23,7 +23,7 @@ the single-threaded simulator in tests/test_frontier_parity.py.
 
 Skew: the per-host top-k prefix bounds any mega-host's contribution to an
 epoch at the politeness ceiling (window_ms / min_delay + retries), so the
-applyInArrow group for the hottest host is O(hundreds) of rows no matter
+walk's host segment for the hottest host is O(hundreds) of rows no matter
 how many billions of its URLs are queued; the bloom shards are uniform by
 url-hash. Frontier state lives in snapshot tables (sources/snapshots.py);
 every epoch is resumable (kill → rerun uncommitted epoch, identical by the
@@ -432,24 +432,52 @@ class FrontierEngine:
             return F.broadcast(df)
         return df
 
+    # past this many un-compacted appends the anti-join chain's lineage
+    # (K-1 stacked broadcast anti-joins) stops paying for itself; the
+    # shuffle groupBy is exact at any K
+    _DELTA_CHAIN_MAX_PARTS = 8
+
     def _delta_latest(self) -> DataFrame | None:
         """Latest version per changed url_hash, or None when no delta log
         exists. run_epoch pins this once (it is O(changes since last
         compaction)) and threads it through every view below — it feeds
         two branches of the candidate DAG plus the discovery anti-join and
         the broadcast build, so recomputing it per consumer multiplies the
-        delta groupBy. A single-epoch delta log (one append since the last
-        compaction — the manifest lists one path) is already single-version
-        per url_hash (a URL changes at most once per epoch, and an epoch's
-        attempted and admitted sets are disjoint), so the latest-wins
-        groupBy is the identity and its exchange is skipped."""
-        deltas = self._deltas("frontier_delta")
-        if deltas is None:
-            return None
+        latest-wins cost. EACH per-epoch append is single-version per
+        url_hash (a URL changes at most once per epoch, and an epoch's
+        attempted and admitted sets are disjoint), so:
+
+        - one append: latest-wins is the identity — return the read;
+        - few appends under the broadcast gate: latest = newest append,
+          plus each older append anti-joined against the KEYS of all
+          newer appends (manifest order IS updated_epoch order) — K-1
+          broadcast anti-joins, no shuffle, no sort-aggregate (measured
+          ~2x cheaper than the groupBy at the bench's 2M-version log);
+        - long log or past `delta_broadcast_rows` (compaction-overdue
+          backlog): the shuffle groupBy, exact at any size — the same
+          regime split as every other delta key-set decision."""
         m = self.catalog.load_manifest()
-        if len(m["tables"]["frontier_delta"]["paths"]) <= 1:
-            return deltas
-        return self._latest_wins(deltas)
+        if m is None or "frontier_delta" not in m.get("tables", {}):
+            return None
+        n_parts = len(m["tables"]["frontier_delta"]["paths"])
+        if n_parts <= 1:
+            return self._deltas("frontier_delta")
+        n_rows = int(m["meta"].get("delta_rows", 0))
+        if (n_parts > self._DELTA_CHAIN_MAX_PARTS
+                or n_rows > self.cfg.delta_broadcast_rows):
+            return self._latest_wins(self._deltas("frontier_delta"))
+        parts = self.catalog.read_parts(
+            self.spark, "frontier_delta",
+            schema=self._TABLE_SCHEMAS["frontier_delta"],
+        )
+        out = parts[-1]
+        newer_keys = parts[-1].select("url_hash")
+        for older in parts[-2::-1]:
+            out = out.unionByName(
+                older.join(F.broadcast(newer_keys), "url_hash", "left_anti")
+            )
+            newer_keys = newer_keys.unionByName(older.select("url_hash"))
+        return out
 
     def _merge_latest(self, base: DataFrame, latest: DataFrame) -> DataFrame:
         """base (single-version) merged with the latest delta versions.
@@ -861,60 +889,76 @@ class FrontierEngine:
                         F.coalesce("next_allowed_ms", F.lit(0)))
         )
 
-        # --- politeness walk per host (Arrow-batched groups, numpy scan) ---
+        # --- politeness walk per host (shard-level Arrow stream, numpy scan)
         # Precondition satisfied by the `queued` filter above: every entry
         # has not_before_ms < epoch_end, so the vectorized prefix-mask walk
         # is exactly the reference loop (property-tested equivalence in
         # tests/test_politeness_vec.py).
         _OUTCOMES = np.array(["FETCHED", "RETRY", "FAILED"])
 
-        # applyInArrow, not applyInPandas: the walk runs once per HOST
-        # group (thousands of small groups per epoch), so per-group
-        # conversion overhead multiplies. The arrow walk never builds a
-        # pandas frame: the deterministic (priority, hop, url) order comes
-        # from pyarrow's C++ sort_indices, the numeric inputs of the numpy
-        # politeness scan are zero-copy views, passthrough columns ride a
-        # single Table.take, and only the two per-host scalars cross into
-        # Python. Same schedule_host_arrays core, property-tested against
-        # the reference loop (tests/test_politeness_vec.py).
+        # mapInArrow over host-partitioned, host-sorted shards — NOT
+        # groupBy().applyInArrow: the walk runs once per HOST and an epoch
+        # carries thousands of small host groups, so per-group Arrow
+        # framing (one Python round trip, one Table build, one C++ sort
+        # per group) multiplies into the epoch's fixed cost. The shard
+        # form pays the SAME exchange (hash on host) but moves the total
+        # order (host, [priority desc,] hop, url) into the JVM partition
+        # sort, streams ~10k-row batches through ONE Python pass per
+        # shard, and walks each host as a numpy slice view of the batch.
+        # A host group split across batch boundaries is carried forward
+        # until complete (hosts are contiguous in the sorted stream), so
+        # every host is still walked exactly once, whole — the carry is
+        # bounded by one host group plus one batch, the same peak as an
+        # applyInArrow group. Same schedule_host_arrays core,
+        # property-tested against the reference loop.
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        sort_keys = (
-            [("priority", "descending"), ("hop", "ascending"),
-             ("url_canon", "ascending")]
+        walk_sort = (
+            [F.col("host"), F.col("priority").desc(), F.col("hop"),
+             F.col("url_canon")]
             if priority_mode
-            else [("hop", "ascending"), ("url_canon", "ascending")]
+            else [F.col("host"), F.col("hop"), F.col("url_canon")]
         )
-        empty_events = pa.schema([
-            ("url_hash", pa.int64()), ("url_canon", pa.string()),
-            ("host", pa.string()), ("hop", pa.int32()),
-            ("seed_id", pa.int32()), ("retry_count", pa.int32()),
-            ("fetch_start_ms", pa.int64()), ("fetch_ms", pa.int32()),
-            ("status", pa.int32()), ("outcome", pa.string()),
-            ("new_next_allowed", pa.int64()), ("trans_hops", pa.int32()),
-            ("priority", pa.float64()), ("not_before_ms", pa.int64()),
-            ("discovered_epoch", pa.int32()),
-        ]).empty_table()
 
-        def walk(table: "pa.Table") -> "pa.Table":
-            host = table.column("host")[0].as_py()
-            order = pc.sort_indices(table, sort_keys=sort_keys).to_numpy()
-            nb = table.column("not_before_ms").to_numpy(zero_copy_only=False)
-            picked, start, outcome, cursor = schedule_host_arrays(
-                order,
-                nb,
-                table.column("status").to_numpy(zero_copy_only=False),
-                table.column("fetch_ms").to_numpy(zero_copy_only=False),
-                table.column("retry_count").to_numpy(zero_copy_only=False),
-                int(table.column("next_allowed_ms")[0].as_py()),
-                int(table.column("crawl_delay_s")[0].as_py()),
-                epoch_start, epoch_end, cfg,
-                politeness=cfg.politeness_for(host),
-            )
-            if picked.size == 0:
-                return empty_events
-            sub = table.take(pa.array(picked))
+        def _walk_hosts(t: "pa.Table") -> "pa.Table | None":
+            """Walk every host segment of a sorted table (each segment
+            complete by construction); None when nothing is picked."""
+            t = t.combine_chunks()
+            n = t.num_rows
+            host_arr = t.column("host")
+            # segment boundaries: dictionary codes are assigned in order
+            # of first appearance, so over a host-sorted column they are
+            # non-decreasing and change exactly at host boundaries
+            codes = pc.dictionary_encode(host_arr).combine_chunks()
+            codes_np = codes.indices.to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(np.diff(codes_np)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            nb = t.column("not_before_ms").to_numpy(zero_copy_only=False)
+            st = t.column("status").to_numpy(zero_copy_only=False)
+            fm = t.column("fetch_ms").to_numpy(zero_copy_only=False)
+            rc = t.column("retry_count").to_numpy(zero_copy_only=False)
+            na = t.column("next_allowed_ms").to_numpy(zero_copy_only=False)
+            cd = t.column("crawl_delay_s").to_numpy(zero_copy_only=False)
+            idx_parts, start_parts, out_parts, cur_parts = [], [], [], []
+            for s, e in zip(starts, ends):
+                picked, fstart, outc, cursor = schedule_host_arrays(
+                    np.arange(e - s),  # rows arrive pre-sorted per host
+                    nb[s:e], st[s:e], fm[s:e], rc[s:e],
+                    int(na[s]), int(cd[s]), epoch_start, epoch_end, cfg,
+                    politeness=cfg.politeness_for(host_arr[s].as_py()),
+                )
+                if picked.size:
+                    idx_parts.append(picked + s)
+                    start_parts.append(fstart)
+                    out_parts.append(outc)
+                    cur_parts.append(
+                        np.full(picked.size, cursor, dtype=np.int64)
+                    )
+            if not idx_parts:
+                return None
+            sub = t.take(pa.array(np.concatenate(idx_parts)))
             return pa.table({
                 "url_hash": sub.column("url_hash"),
                 "url_canon": sub.column("url_canon"),
@@ -922,13 +966,13 @@ class FrontierEngine:
                 "hop": sub.column("hop"),
                 "seed_id": sub.column("seed_id"),
                 "retry_count": sub.column("retry_count"),
-                "fetch_start_ms": pa.array(start, type=pa.int64()),
+                "fetch_start_ms": pa.array(
+                    np.concatenate(start_parts), type=pa.int64()
+                ),
                 "fetch_ms": sub.column("fetch_ms"),
                 "status": sub.column("status"),
-                "outcome": pa.array(_OUTCOMES[outcome]),
-                "new_next_allowed": pa.array(
-                    np.full(len(picked), cursor, dtype=np.int64)
-                ),
+                "outcome": pa.array(_OUTCOMES[np.concatenate(out_parts)]),
+                "new_next_allowed": pa.array(np.concatenate(cur_parts)),
                 "trans_hops": sub.column("trans_hops"),
                 "priority": sub.column("priority"),
                 # passthrough: the frontier-delta row for this attempt is
@@ -937,13 +981,39 @@ class FrontierEngine:
                 "discovered_epoch": sub.column("discovered_epoch"),
             })
 
+        def walk_stream(batches):
+            pending: "pa.Table | None" = None
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                t = pa.Table.from_batches([batch])
+                if pending is not None:
+                    t = pa.concat_tables([pending, t])
+                hosts = t.column("host")
+                # first row of the (possibly incomplete) last host group
+                cut = pc.index(hosts, hosts[-1]).as_py()
+                if cut > 0:
+                    out = _walk_hosts(t.slice(0, cut))
+                    if out is not None:
+                        yield from out.to_batches()
+                pending = t.slice(cut)
+            if pending is not None and pending.num_rows > 0:
+                out = _walk_hosts(pending)
+                if out is not None:
+                    yield from out.to_batches()
+
         # eager materialization: every downstream consumer (host_state,
         # frontier transitions, discovery, metrics) reads the walk output
         # exactly once from storage. The materialization IS the fetch_log
         # delta write (Iceberg staging: data files land before the manifest
         # publish; a crash orphans them harmlessly) — one job does double
         # duty, and the commit phase later only records the path.
-        raw_events = cand.groupBy("host").applyInArrow(walk, EVENT_SCHEMA)
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        raw_events = (
+            cand.repartition(n_shuffle, "host")
+            .sortWithinPartitions(*walk_sort)
+            .mapInArrow(walk_stream, EVENT_SCHEMA)
+        )
         events_path = self.catalog.stage_path("fetch_log", kind="append")
         # persist-through-write: the parquet write is still the one
         # materializing action (and the committed fetch_log delta), but it

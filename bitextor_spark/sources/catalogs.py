@@ -222,20 +222,41 @@ class TableCatalog:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
-        if schema:
-            # parity with the FS catalog's explicit-schema parquet read:
-            # exactly the requested fields AND types — existing columns are
-            # cast (so a drifted backend type, e.g. int vs bigint, cannot
-            # silently diverge from FS-read semantics), missing ones are
-            # typed NULLs
-            want = T._parse_datatype_string(schema)
-            have = set(df.columns)
-            df = df.select(*[
-                F.col(f.name).cast(f.dataType).alias(f.name) if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in want.fields
-            ])
-        return df
+        return self._cast_schema(df, schema)
+
+    @staticmethod
+    def _cast_schema(df: DataFrame, schema: str | None) -> DataFrame:
+        if not schema:
+            return df
+        # parity with the FS catalog's explicit-schema parquet read:
+        # exactly the requested fields AND types — existing columns are
+        # cast (so a drifted backend type, e.g. int vs bigint, cannot
+        # silently diverge from FS-read semantics), missing ones are
+        # typed NULLs
+        want = T._parse_datatype_string(schema)
+        have = set(df.columns)
+        return df.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        ])
+
+    def read_parts(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        schema: str | None = None,
+    ) -> list[DataFrame] | None:
+        """One DataFrame per committed append, in manifest (commit) order
+        (see SnapshotCatalog.read_parts)."""
+        manifest = self.load_manifest(snapshot_id)
+        if manifest is None or name not in manifest["tables"]:
+            return None
+        return [
+            self._cast_schema(spark.table(i), schema)
+            for i in manifest["tables"][name]["paths"]
+        ]
 
     def history(self) -> list[dict[str, Any]]:
         c = self._commits()
