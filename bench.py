@@ -200,6 +200,12 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
             # stays far under delta_broadcast_rows.
             compact_delta_ratio=3.0,
         )
+        # A/B knob: force the pre-walk rank regimes (0 = always rank, as
+        # before the excess gate) without editing config defaults
+        _rank_excess = os.environ.get("SPARK_GRAFT_RANK_EXCESS")
+        if _rank_excess is not None:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, rank_excess_rows=int(_rank_excess))
         root = tempfile.mkdtemp(prefix=f"crawl_bench_{cpus}_")
         eng = FrontierEngine(spark, cfg, root, dfs["pages"], dfs["robots"],
                              dfs["seeds"], use_bloom=True)

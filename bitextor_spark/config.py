@@ -151,6 +151,17 @@ class CrawlConfig:
     # ~32 MB at the default); past it the merge becomes a shuffle join
     delta_broadcast_rows: int = 4_000_000
 
+    # The per-host k_cap rank before the politeness walk is a pure
+    # volume cap (the walk's prefix masks enforce budget + window
+    # exactly, so walking a host's WHOLE queue is always correct).
+    # Skip the rank — one consumption of the queued set instead of a
+    # hot/cold split plus two window exchanges — while the total
+    # over-cap volume (Σ max(rows − k_cap, 0) over hot hosts, an upper
+    # bound from the gate's count pass) stays under this many rows;
+    # past it (mega-host regime) the rank pays for itself by shrinking
+    # the walk exchange.
+    rank_excess_rows: int = 2_000_000
+
     # engine partitioning
     num_host_shards: int = 32
     bloom_bits_per_shard: int = 1 << 20  # 128 KiB per shard

@@ -833,18 +833,36 @@ class FrontierEngine:
                 latest.filter(F.col("state") == "QUEUED")
                 .groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
             )
-        hot_df = (
+        hot_counts = (
             bound.groupBy("host").agg(F.sum("_n").alias("_n"))
-            .filter(F.col("_n") > k_cap).select("host")
+            .filter(F.col("_n") > k_cap)
         )
-        # count-then-collect (NOT limit().collect(): CollectLimit executes
-        # as incremental scale-up jobs — 5+ jobs for an empty result)
-        n_hot = hot_df.count()
+        hot_df = hot_counts.select("host")
+        # one aggregate job answers BOTH gate questions (NOT
+        # limit().collect(): CollectLimit executes as incremental
+        # scale-up jobs — 5+ jobs for an empty result): how many hosts
+        # exceed the cap, and how much over-cap VOLUME they hold. The
+        # walk's prefix masks enforce budget + window exactly on a
+        # host's whole queue, so the rank is a volume cap, never a
+        # correctness step — while the excess stays under
+        # cfg.rank_excess_rows the queued set flows to the walk in ONE
+        # consumption (no hot/cold split re-evaluating the candidate
+        # DAG, no window exchanges); the extra exchange volume is the
+        # excess itself, bounded by the gate. Excess is an upper bound
+        # (same relaxations as the host counts), so a stale count can
+        # only force a redundant rank, never an undersized one.
+        gate_row = hot_counts.agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum(F.col("_n") - k_cap).alias("excess"),
+        ).collect()[0]
+        n_hot = int(gate_row["nh"] or 0)
+        excess = int(gate_row["excess"] or 0)
         mark('topk_gate')
         blocked_col = F.col("not_before_ms") > epoch_start
-        if n_hot == 0:
-            # no host can exceed the cap: the whole queued set flows to
-            # the walk in ONE consumption, no rank, no union
+        if n_hot == 0 or excess <= cfg.rank_excess_rows:
+            # no host over the cap, or the over-cap volume is cheaper
+            # to walk than to rank: the whole queued set flows to the
+            # walk in ONE consumption, no rank, no union
             cand = queued
         elif n_hot > _HOT_HOST_GATE:
             cand = per_key_topk_passthrough(

@@ -362,3 +362,42 @@ def test_politeness_overlay_parity(spark, no_aqe):
         assert seen == ov_sim.seen
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rank_regime_parity(spark, world, no_aqe, monkeypatch):
+    """The pre-walk k_cap rank is a volume cap, never a correctness step:
+    all three gate regimes — excess-gated single consumption (default),
+    hot/cold split rank (rank_excess_rows=0, few hot hosts), and the
+    skew-proof full rank (_HOT_HOST_GATE forced to 0) — must reproduce
+    the reference simulator byte-for-byte on a world whose per-host
+    queues exceed k_cap."""
+    import dataclasses
+
+    import bitextor_spark.frontier.engine as engine_mod
+
+    # k_cap = replenish_per_epoch = 4 << per-host queue depth (~25): every
+    # host is hot and the walk sees over-cap queues in the single-pass
+    # regime
+    hot_cfg = dataclasses.replace(CFG, replenish_per_epoch=4)
+    ref = _log_tuples_sim(simulate(world, hot_cfg))
+
+    def run(cfg):
+        dfs = world_to_dfs(spark, world)
+        root = tempfile.mkdtemp(prefix="frontier_rank_")
+        try:
+            eng = FrontierEngine(
+                spark, cfg, root, dfs["pages"], dfs["robots"], dfs["seeds"],
+                use_bloom=True,
+            )
+            eng.run(max_epochs=N_EPOCHS)
+            return _log_tuples_engine(eng)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    # default: excess (~hundreds of rows) is under the gate -> single pass
+    assert run(hot_cfg) == ref
+    # force the hot/cold split (n_hot <= _HOT_HOST_GATE branch)
+    assert run(dataclasses.replace(hot_cfg, rank_excess_rows=0)) == ref
+    # force the skew-proof full rank (n_hot > gate branch)
+    monkeypatch.setattr(engine_mod, "_HOT_HOST_GATE", 0)
+    assert run(dataclasses.replace(hot_cfg, rank_excess_rows=0)) == ref
