@@ -410,12 +410,14 @@ def write_report(result: dict) -> None:
         "",
         f"**total: {result['value']} s**",
         "",
-        "Round-4 context: `p7_langid_trigram`'s DEFAULT model grew from a "
-        "3-language stand-in (shuffle-free codegen path, ~0.8 s) to the "
-        "committed 17-language corpus-derived profile (816 rows → "
-        "broadcast-join scoring path) — ~4-5 s more work by design, the "
-        "realism the round-3 verdict ordered. Small/env-pointed profiles "
-        "still take the codegen path.",
+        "Context: `p7_langid_trigram` scores the committed 17-language "
+        "corpus-derived default profile (816 rows) through the CHUNKED "
+        "shuffle-free codegen tier since round 5 (~1.4 s, vs ~4.6 s "
+        "through the round-4 broadcast-join path; oversize profiles still "
+        "fall back to the join). Headline totals swing ~±60% between "
+        "sessions with host steal on this shared VM (BENCH/history.jsonl "
+        "headline_total_sec column, identical code) — compare per-query "
+        "medians across history rows, not single sessions.",
         "",
     ]
     pairs = [p for p in (result.get("crawl"), result.get("crawl_pair_8_32"))
@@ -436,7 +438,14 @@ def write_report(result: dict) -> None:
             "oversubscription — see each pair's machine ceiling). Each "
             "per-epoch sample carries the /proc/stat steal% of its own "
             "measurement window; min/median/max columns expose dispersion "
-            "so a steal episode reads as noise, not regression.",
+            "so a steal episode reads as noise, not regression. jobs/epoch "
+            "is the MAX over epochs: it grows by one broadcast anti-join "
+            "job per epoch as the uncompacted delta chain lengthens "
+            "(bounded by _DELTA_CHAIN_MAX_PARTS=8, then the constant-job "
+            "shuffle groupBy takes over; compaction folds the chain — "
+            "this bench pushes compaction out of the window on purpose), "
+            "so it is amortized-constant per epoch, not frontier-size-"
+            "dependent.",
             "",
             "| cores | samples | urls/s min/med/max | best run | "
             "steal% min/med/max | jobs/epoch |",
