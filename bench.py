@@ -371,6 +371,8 @@ def _append_history(result: dict) -> tuple[list[dict], int]:
             "headline_total_sec": result["value"],
             "steal_med": [c["low"].get("steal_pct_median"),
                           c["high"].get("steal_pct_median")],
+            "cand_med": [c["low"].get("cand_phase_sec_median"),
+                         c["high"].get("cand_phase_sec_median")],
         }
         with open(path, "a") as fh:
             fh.write(json.dumps(row) + "\n")
@@ -448,8 +450,8 @@ def write_report(result: dict) -> None:
             "dependent.",
             "",
             "| cores | samples | urls/s min/med/max | best run | "
-            "steal% min/med/max | jobs/epoch |",
-            "|---|---|---|---|---|---|",
+            "steal% min/med/max | cand-phase s min/med/max | jobs/epoch |",
+            "|---|---|---|---|---|---|---|",
         ]
         for c in pairs:
             for r in (c["low"], c["high"]):
@@ -460,8 +462,22 @@ def write_report(result: dict) -> None:
                     f"{r['max_urls_per_sec']} | "
                     f"{r['best_urls_per_sec']} | "
                     f"{r['steal_pct_min']} / {r['steal_pct_median']} / "
-                    f"{r['steal_pct_max']} | {r['jobs_per_epoch']} |"
+                    f"{r['steal_pct_max']} | "
+                    f"{r.get('cand_phase_sec_min')} / "
+                    f"{r.get('cand_phase_sec_median')} / "
+                    f"{r.get('cand_phase_sec_max')} | "
+                    f"{r['jobs_per_epoch']} |"
                 )
+        lines += [
+            "",
+            "cand-phase = pin_delta + topk_gate + plan_candidates marks "
+            "(everything from epoch start to the materialized politeness "
+            "walk / events write — the r4 'candidate phase < 5 s at 16 "
+            "cores' target). Its min tracks what the code costs on a calm "
+            "box; the spread to max co-moves with the steal column (the "
+            "walk exchange is O(queued), but the mark also absorbs driver "
+            "scheduling gaps under contention).",
+        ]
         for c in pairs:
             lines += [
                 "",
@@ -599,6 +615,18 @@ def main() -> None:
             steals = sorted(
                 e["cpu"]["steal_pct"] for e in eps if e.get("cpu")
             )
+            # candidate-phase wall per epoch (r4 directive #4 evidence):
+            # pin_delta + topk_gate + plan_candidates, i.e. everything
+            # between epoch start and the materialized walk/events write.
+            # Reported as min/median/max so a steal episode shows up as
+            # dispersion next to its own steal column, not as a silently
+            # inflated single number.
+            cand = sorted(
+                round(sum(e["phases"].get(k) or 0.0
+                          for k in ("pin_delta", "topk_gate",
+                                    "plan_candidates")), 2)
+                for e in eps if e.get("phases")
+            )
             return {
                 "cpus": cpus,
                 "runs": runs,
@@ -618,6 +646,11 @@ def main() -> None:
                     round(statistics.median(steals), 2) if steals else None
                 ),
                 "steal_pct_max": steals[-1] if steals else None,
+                "cand_phase_sec_min": cand[0] if cand else None,
+                "cand_phase_sec_median": (
+                    round(statistics.median(cand), 2) if cand else None
+                ),
+                "cand_phase_sec_max": cand[-1] if cand else None,
             }
 
         def run_pair(a: int, b: int, k: int) -> dict:
@@ -693,9 +726,10 @@ def main() -> None:
         n_runs_2 = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_PAIR2",
                                       str(max(2, n_runs - 1))))
         result["crawl"] = run_pair(n_low, n_high, n_runs)
-        result["crawl_pair_8_32"] = run_pair(
-            2 * n_low, 2 * n_high, n_runs_2
-        )
+        if n_runs_2 > 0:  # PAIR2=0 skips the second pair (quick verify)
+            result["crawl_pair_8_32"] = run_pair(
+                2 * n_low, 2 * n_high, n_runs_2
+            )
 
     write_report(result)
     os.makedirs("BENCH", exist_ok=True)
@@ -716,6 +750,8 @@ def main() -> None:
             "vs_ceiling": c["efficiency_vs_ceiling"],
             "steal_med": [c["low"]["steal_pct_median"],
                           c["high"]["steal_pct_median"]],
+            "cand_med": [c["low"]["cand_phase_sec_median"],
+                         c["high"]["cand_phase_sec_median"]],
         }
 
     line = {
