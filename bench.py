@@ -374,8 +374,23 @@ def _append_history(result: dict) -> tuple[list[dict], int]:
             "cand_med": [c["low"].get("cand_phase_sec_median"),
                          c["high"].get("cand_phase_sec_median")],
         }
-        with open(path, "a") as fh:
-            fh.write(json.dumps(row) + "\n")
+        # idempotence: re-rendering the report from a saved last_run.json
+        # (write_report(result) in a REPL) must not duplicate the run's
+        # history row — skip the append when the last row is this run
+        # modulo timestamp.
+        last = None
+        if os.path.exists(path):
+            with open(path) as fh:
+                tail_lines = fh.read().splitlines()
+            if tail_lines:
+                try:
+                    last = json.loads(tail_lines[-1])
+                except ValueError:
+                    last = None
+        if not (last and {k: v for k, v in last.items() if k != "ts"}
+                == {k: v for k, v in row.items() if k != "ts"}):
+            with open(path, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
     try:
         with open(path) as fh:
             rows = [json.loads(ln) for ln in fh if ln.strip()]
@@ -476,7 +491,13 @@ def write_report(result: dict) -> None:
             "cores' target). Its min tracks what the code costs on a calm "
             "box; the spread to max co-moves with the steal column (the "
             "walk exchange is O(queued), but the mark also absorbs driver "
-            "scheduling gaps under contention).",
+            "scheduling gaps under contention). Read the min row ACROSS "
+            "core counts: on a calm box it is nearly identical at every "
+            "parallelism level, i.e. the residual is driver-side latency "
+            "(Catalyst planning of the epoch DAG, job submission, the one "
+            "gate collect) rather than executor compute — a per-wave "
+            "constant that amortizes as waves grow toward production "
+            "size, not a term that scales with frontier volume.",
         ]
         for c in pairs:
             lines += [
