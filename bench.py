@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -535,7 +536,11 @@ def write_report(result: dict) -> None:
                 f"{n_legacy} rows with other/unrecorded methodologies "
                 "excluded; `BENCH/history.jsonl`): absolute throughput at "
                 "each core count tracks code changes; the efficiency ratio "
-                "moves with host steal between sessions.",
+                "moves with box conditions between sessions — host steal "
+                "AND single-run scheduling luck (it swings even at ~0% "
+                "steal when one side happens to draw a fast window), which "
+                "is why the cross-session MEDIAN below, not any single "
+                "session, is the load-bearing estimator.",
                 "",
                 "| session | git | low median | high median | efficiency "
                 "| box ceiling | vs ceiling |",
@@ -548,6 +553,16 @@ def write_report(result: dict) -> None:
                     f"{h['efficiency']} | {h['ceiling']} | "
                     f"{h['vs_ceiling']} |"
                 )
+
+            def _med(key):
+                return round(statistics.median(h[key] for h in history), 3)
+
+            lines.append(
+                f"| **median ({len(history)} sessions)** | — | "
+                f"{_med('low_median')} | {_med('high_median')} | "
+                f"**{_med('efficiency')}** | {_med('ceiling')} | "
+                f"**{_med('vs_ceiling')}** |"
+            )
             lines.append("")
         lines += [
             "Fixed cost per epoch is bounded by design: the engine runs a "
