@@ -616,8 +616,6 @@ def main() -> None:
         result["failed_queries"] = failed_queries
 
     if DO_SCALING:
-        import statistics
-
         # N→4N executor-scaling evidence in sandbox form: the same job at
         # local[N] and local[4N]. N=4 → 4N=16 stays within the box's
         # physical cores (local[32] lands in SMT oversubscription, where
