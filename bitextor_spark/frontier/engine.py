@@ -155,6 +155,7 @@ class FrontierEngine:
         )
         self._is_local = spark.sparkContext.master.startswith("local")
         self._epoch_pins: list[DataFrame] = []
+        self._bloom_bcast = None  # per-compaction flag broadcast cache
 
     def _pin(self, df: DataFrame, columnar: bool = False) -> DataFrame:
         """Eagerly materialize an epoch intermediate, tracked for cleanup.
@@ -184,6 +185,32 @@ class FrontierEngine:
             except Exception:
                 pass
         self._epoch_pins = []
+
+    def _bloom_flag_broadcast(self):
+        """Broadcast of the folded bloom shard blobs for the narrow flag
+        pass, rebuilt once per COMPACTION (the only event that changes the
+        base bitmaps — between compactions admissions live in the
+        bloom_pending delta, which the admission path anti-joins exactly).
+        Returns None when the total bitmap size exceeds
+        ``cfg.bloom_broadcast_bytes`` (north-star multi-GB bitmaps): the
+        cogrouped-Arrow flag path runs instead."""
+        cfg = self.cfg
+        total = cfg.num_host_shards * (cfg.bloom_bits_per_shard // 8)
+        if total > cfg.bloom_broadcast_bytes:
+            return None
+        if self._bloom_bcast is None:
+            self._bloom_bcast = seen_mod.broadcast_blooms(
+                self.spark, self._load("blooms")
+            )
+        return self._bloom_bcast
+
+    def _invalidate_bloom_broadcast(self) -> None:
+        if self._bloom_bcast is not None:
+            try:
+                self._bloom_bcast.destroy()
+            except Exception:
+                pass
+            self._bloom_bcast = None
 
     # ------------------------------------------------------------------ #
     # bootstrap / resume                                                  #
@@ -1223,11 +1250,6 @@ class FrontierEngine:
             )
         )
         mark('discovery_dag')
-        scope_rejects = (
-            grouped_all.filter(F.col("n_reject") > 0)
-            .groupBy(F.col("_any_host").alias("host"))
-            .agg(F.sum("n_reject").alias("skipped_scope"))
-        )
         grouped = (
             grouped_all.filter(F.col("w").isNotNull())
             .select(
@@ -1250,14 +1272,24 @@ class FrontierEngine:
         # The per-host dupe/unique counters need only pre-flag columns, so
         # they read the pinned aggregate directly.
         if self.use_bloom:
-            blooms = self._load("blooms")
-            # n_disc drops BEFORE the cogroup: the dupe counter is read
+            # n_disc drops BEFORE the flag pass: the dupe counter is read
             # from the pinned aggregate, not the flag output, so it must
             # not ride the Arrow transfer through the Python flag pass
-            flagged = seen_mod.flag_maybe_seen(
-                grouped.drop("n_disc"), blooms, cfg.num_host_shards,
-                cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
-            )
+            bcast = self._bloom_flag_broadcast()
+            if bcast is not None:
+                # bitmaps under the size gate: one broadcast per
+                # compaction, per-epoch flag is a NARROW mapInArrow — no
+                # shard exchange, no cogroup sort in the epoch DAG
+                flagged = seen_mod.flag_maybe_seen_via_broadcast(
+                    grouped.drop("n_disc"), bcast, cfg.num_host_shards,
+                    cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+                )
+            else:
+                flagged = seen_mod.flag_maybe_seen(
+                    grouped.drop("n_disc"), self._load("blooms"),
+                    cfg.num_host_shards,
+                    cfg.bloom_bits_per_shard, cfg.bloom_num_hashes,
+                )
             # presence = in base OR in delta log. The base check is ONE
             # left join carrying a presence marker (kept rows: bloom-miss
             # OR base-miss) rather than a definitely-new ∪ anti-join(maybe)
@@ -1299,11 +1331,6 @@ class FrontierEngine:
         # that write here serializes it, while in the commit pool it
         # overlaps the other table writes for free).
         admitted = self._pin(admitted)
-        # every duplicate discovery of a URL shares the URL's host, so the
-        # per-host dupe counter is derivable without ranking individual rows
-        wave_dupes = grouped.groupBy("host").agg(
-            F.sum(F.col("n_disc") - 1).alias("dupe_seen")
-        )
 
         new_rows = admitted.select(
             "url_hash", "url_canon", "host", "hop", "seed_id",
@@ -1319,38 +1346,68 @@ class FrontierEngine:
         frontier_delta_next = frontier_changed.unionByName(new_rows)
 
         # --- metrics (C17): per-host counters for this epoch ---
-        ev_counts = events.groupBy("host").agg(
-            F.sum(F.when(F.col("outcome") == "FETCHED", 1).otherwise(0)).alias("fetched"),
-            F.sum(F.when(F.col("outcome") != "FETCHED", 1).otherwise(0)).alias("errors"),
-            F.sum(F.when(F.col("outcome") == "FAILED", 1).otherwise(0)).alias("failed"),
-        )
-        unique_counts = grouped.groupBy("host").count().withColumnRenamed(
-            "count", "n_unique"
-        )
-        queued_counts = new_rows.groupBy("host").count().withColumnRenamed(
-            "count", "queued"
-        )
+        # ONE aggregation over a tagged union of the four (narrow, already
+        # pinned) sources instead of the former five per-host groupBys
+        # stitched by four FULL OUTER joins: the join chain executed as
+        # four SEQUENTIAL sort-merge stages over tiny per-host tables, and
+        # its ~4 stage latencies made the metrics write the commit pool's
+        # critical path (measured 3.3 s of the 3.4 s commit at 16 cores —
+        # pure fixed cost at any data volume). The union form is depth-2:
+        # partial map-side aggregation collapses every branch to per-host
+        # rows before ONE exchange, and hosts present in any source
+        # survive exactly as with the full joins (absent metrics sum as
+        # the union's zero fillers; every counter is already long).
         # seen_dupe (candidates already in the frontier) = unique − admitted
-        # per host: arithmetic, not the former frontier semi-join — the
-        # frontier never shuffles for metrics.
+        # per host: arithmetic, not a frontier semi-join — the frontier
+        # never shuffles for metrics.
+        _z = F.lit(0).cast("long")
+
+        def _mrow(host_col, **vals):
+            cols = [F.col(host_col).alias("host") if host_col != "host"
+                    else F.col("host")]
+            for c in ("fetched", "errors", "failed", "skipped_scope",
+                      "dupe_seen", "n_unique", "queued"):
+                cols.append(
+                    vals[c].cast("long").alias(c) if c in vals
+                    else _z.alias(c)
+                )
+            return cols
+
+        m_events = events.select(*_mrow(
+            "host",
+            fetched=F.when(F.col("outcome") == "FETCHED", 1).otherwise(0),
+            errors=F.when(F.col("outcome") != "FETCHED", 1).otherwise(0),
+            failed=F.when(F.col("outcome") == "FAILED", 1).otherwise(0),
+        ))
+        # one narrow read of the pinned aggregate covers dupes AND uniques
+        m_grouped = grouped.select(*_mrow(
+            "host", dupe_seen=F.col("n_disc") - 1, n_unique=F.lit(1),
+        ))
+        m_rejects = grouped_all.filter(F.col("n_reject") > 0).select(*_mrow(
+            "_any_host", skipped_scope=F.col("n_reject"),
+        ))
+        m_queued = new_rows.select(*_mrow("host", queued=F.lit(1)))
         metrics = (
-            ev_counts.join(scope_rejects, "host", "full")
-            .join(wave_dupes, "host", "full")
-            .join(unique_counts, "host", "full")
-            .join(queued_counts, "host", "full")
+            m_events.unionByName(m_grouped)
+            .unionByName(m_rejects)
+            .unionByName(m_queued)
+            .groupBy("host")
+            .agg(*[
+                F.sum(c).alias(c)
+                for c in ("fetched", "errors", "failed", "skipped_scope",
+                          "dupe_seen", "n_unique", "queued")
+            ])
             .select(
                 F.lit(epoch).alias("epoch"),
                 "host",
-                F.coalesce("fetched", F.lit(0)).alias("fetched"),
-                F.coalesce("errors", F.lit(0)).alias("errors"),
-                F.coalesce("failed", F.lit(0)).alias("failed"),
+                "fetched",
+                "errors",
+                "failed",
                 (
-                    F.coalesce("dupe_seen", F.lit(0))
-                    + F.coalesce("n_unique", F.lit(0))
-                    - F.coalesce("queued", F.lit(0))
+                    F.col("dupe_seen") + F.col("n_unique") - F.col("queued")
                 ).alias("skipped_seen"),
-                F.coalesce("skipped_scope", F.lit(0)).alias("skipped_scope"),
-                F.coalesce("queued", F.lit(0)).alias("queued"),
+                "skipped_scope",
+                "queued",
             )
         )
         mark('metrics_dag')
@@ -1500,6 +1557,10 @@ class FrontierEngine:
         queued_remaining = stats_box["queued_remaining"]
         mark('commit')
         self._release_pins()
+        if compact and self.use_bloom:
+            # the commit above replaced the bloom base: next epoch's flag
+            # pass must see the folded bitmaps, not the stale broadcast
+            self._invalidate_bloom_broadcast()
         self.last_timings = {k: v for k, v in _t.items() if k != '_start'}
         tracker = self.spark.sparkContext.statusTracker()
         try:

@@ -13,8 +13,11 @@ mega-domain cannot hot-spot a shard (this is the salted/sharded layout the
 north rule asks for: host-derived keys alone would put a whole mega-host
 in one shard; hashing the full URL is the degenerate-salt limit that
 provably balances). Each shard is one binary blob row; membership tests
-run as a cogrouped-map pandas UDF: per shard, Arrow hands numpy the
-candidate hash vector and the blob, and bit tests vectorize.
+vectorize in numpy over Arrow buffers, via one of two exact-equivalent
+plans picked by total bitmap size (engine config ``bloom_broadcast_bytes``):
+bounded bitmaps broadcast once per compaction and probe NARROW
+(mapInArrow, no exchange); north-star multi-GB bitmaps stream through a
+cogrouped-Arrow join per shard instead.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 BLOOM_SCHEMA = "shard int, bloom binary, n_items long"
@@ -93,6 +97,18 @@ def update_blooms(
     )
 
 
+def _probe(bits: np.ndarray, hashes: np.ndarray, m_bits: int, k: int,
+           base: "np.ndarray | int" = 0) -> np.ndarray:
+    """Vectorized membership test of ``hashes`` against a uint8 bitmap.
+
+    ``base`` shifts each key's byte offset — 0 for a single-shard bitmap,
+    or a per-key offset vector when ``bits`` concatenates many shards."""
+    maybe = np.ones(len(hashes), dtype=bool)
+    for pos in _positions(hashes, m_bits, k):
+        maybe &= (bits[base + (pos >> 3)] >> (pos & 7) & 1).astype(bool)
+    return maybe
+
+
 def flag_maybe_seen(
     candidates: DataFrame,  # must carry url_hash
     blooms: DataFrame,
@@ -100,28 +116,89 @@ def flag_maybe_seen(
     m_bits: int,
     k: int,
 ) -> DataFrame:
-    """Adds boolean ``maybe_seen``; False ⇒ definitely never admitted."""
-    out_schema = candidates.schema.add("maybe_seen", "boolean")
+    """Adds boolean ``maybe_seen``; False ⇒ definitely never admitted.
+
+    Cogrouped-ARROW per shard (the any-scale path: shard blobs stream from
+    executors, nothing is collected): candidate columns never materialize
+    as Python objects — the probe reads only the url_hash buffer and the
+    1-row bloom blob, and the batch passes through column-pruned Arrow."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType())]
+    )  # fresh StructType: .add would mutate the DF's cached schema
     with_shard = candidates.withColumn(
         "_shard", shard_col(F.col("url_hash"), n_shards)
     )
 
-    def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if not len(left):
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        left = left.drop(columns=["_shard"])
-        if not len(right):
-            left["maybe_seen"] = False
-            return left
-        bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
-        maybe = np.ones(len(left), dtype=bool)
-        for pos in _positions(left["url_hash"].to_numpy(), m_bits, k):
-            maybe &= (bits[pos >> 3] >> (pos & 7) & 1).astype(bool)
-        left["maybe_seen"] = maybe
-        return left
+    def check(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        h = left.column("url_hash").to_numpy(zero_copy_only=False)
+        if right.num_rows == 0:
+            maybe = np.zeros(len(h), dtype=bool)
+        else:
+            bits = np.frombuffer(
+                right.column("bloom")[0].as_py(), dtype=np.uint8
+            )
+            maybe = _probe(bits, h, m_bits, k)
+        return left.drop_columns(["_shard"]).append_column(
+            "maybe_seen", pa.array(maybe)
+        )
 
     return (
         with_shard.groupBy("_shard")
         .cogroup(blooms.groupBy("shard"))
-        .applyInPandas(check, out_schema)
+        .applyInArrow(check, out_schema)
     )
+
+
+def broadcast_blooms(spark: SparkSession, blooms: DataFrame):
+    """Collect the shard blobs and broadcast ``{shard: bytes}``.
+
+    The caller gates this by total bitmap bytes (config
+    ``bloom_broadcast_bytes``): bounded-size bloom tables ride one
+    broadcast per compaction instead of a per-epoch cogroup exchange; at
+    north-star scale (multi-GB bitmaps) the cogroup path stays."""
+    rows = blooms.select("shard", "bloom").collect()
+    return spark.sparkContext.broadcast(
+        {int(r["shard"]): bytes(r["bloom"]) for r in rows}
+    )
+
+
+def flag_maybe_seen_via_broadcast(
+    candidates: DataFrame,  # must carry url_hash
+    blobs_bcast,  # Broadcast[dict[int, bytes]] from broadcast_blooms
+    n_shards: int,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Broadcast twin of :func:`flag_maybe_seen` — NARROW (mapInArrow, no
+    exchange, no shard sort): every partition probes the broadcast bitmaps
+    in place, fully vectorized across shards (the per-key shard id becomes
+    a byte offset into one concatenated bitmap array). Exactness contract:
+    identical flags to the cogroup path (tests/test_seen.py parity)."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType())]
+    )  # fresh StructType: .add would mutate the DF's cached schema
+    nbytes = m_bits // 8
+
+    def probe_stream(batches):
+        blobs = blobs_bcast.value
+        bits_all = np.zeros(n_shards * nbytes, dtype=np.uint8)
+        for s, b in blobs.items():
+            bits_all[s * nbytes:(s + 1) * nbytes] = np.frombuffer(
+                b, dtype=np.uint8
+            )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+            # same non-negative mod as shard_col's pmod
+            base = (h % n_shards).astype(np.int64) * nbytes
+            maybe = _probe(bits_all, h, m_bits, k, base=base)
+            yield batch.append_column("maybe_seen", pa.array(maybe))
+
+    return candidates.mapInArrow(probe_stream, out_schema)
