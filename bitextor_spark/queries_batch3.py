@@ -370,7 +370,9 @@ def warc_roundtrip_stats(spark, sf_dir):
             F.count(F.lit(1)).alias("n_records"),
             F.sum("payload_len").alias("total_bytes"),
             F.countDistinct(
-                F.parse_url("target_uri", F.lit("HOST"))
+                # try_: Spark 4 parse_url throws on invalid URLs; equal on
+                # every parseable input, NULL instead of a job kill otherwise
+                F.try_parse_url("target_uri", F.lit("HOST"))
             ).alias("n_hosts"),
         )
     )

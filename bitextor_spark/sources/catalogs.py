@@ -143,8 +143,17 @@ class TableCatalog:
             jobs.append(("replace", name, df))
         for name, df in (append or {}).items():
             jobs.append(("append", name, df))
-        for name, kind in (pre_written or {}).items():
-            staged = os.path.join(self._staging_root, f"{name}-{snap_id:06d}")
+        for name, kindref in (pre_written or {}).items():
+            # (kind, staged_path) registers data staged for an EARLIER
+            # snapshot id (write-behind sinks); a bare kind string reads
+            # this snapshot's stage_path
+            if isinstance(kindref, tuple):
+                kind, staged = kindref
+            else:
+                kind = kindref
+                staged = os.path.join(
+                    self._staging_root, f"{name}-{snap_id:06d}"
+                )
             jobs.append((kind, name, self.spark.read.parquet(staged)))
 
         for kind, name, df in jobs:

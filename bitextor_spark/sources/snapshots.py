@@ -92,7 +92,11 @@ class SnapshotCatalog:
         Tables not mentioned carry forward from the previous manifest.
         ``pre_written`` maps table name -> kind ("replace"/"append") for
         tables whose data files were already staged at ``stage_path`` —
-        the commit only records them in the manifest (no write job).
+        the commit only records them in the manifest (no write job). A
+        value may also be a ``(kind, staged_path)`` tuple where
+        ``staged_path`` is an earlier ``stage_path`` result: that
+        registers data staged for a PREVIOUS snapshot id (the engine's
+        write-behind metrics sink trails its epoch's commit by one).
         ``drop`` removes tables from the manifest (their data files become
         unreferenced — e.g. delta logs folded into a compacted base).
         ``meta`` may be a zero-arg callable, evaluated after the data
@@ -133,10 +137,14 @@ class SnapshotCatalog:
             tables.pop(name, None)
 
         label = {"replace": "snap", "append": "delta"}
-        for name, kind in (pre_written or {}).items():
-            jobs.append(
-                (kind, name, f"{name}/{label[kind]}-{snap_id:06d}", None)
-            )
+        for name, kindref in (pre_written or {}).items():
+            if isinstance(kindref, tuple):
+                kind, staged = kindref
+                rel = os.path.relpath(staged, self.data_dir)
+            else:
+                kind = kindref
+                rel = f"{name}/{label[kind]}-{snap_id:06d}"
+            jobs.append((kind, name, rel, None))
 
         for kind, name, rel, _df in jobs:
             if kind == "replace":

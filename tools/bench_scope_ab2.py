@@ -197,15 +197,179 @@ def main() -> None:
         n = df.count()
         return time.time() - t0, n
 
-    for v in variants.values():
-        force(v())  # warm
-    print(f"events={n_events}")
+    def _narrow(df):
+        # flatten the winner struct to the fields consumers actually read
+        # (the min-ordering fields disc_url/disc_host/fetch_start_ms are
+        # dead after the aggregation — don't materialize them in the pin)
+        return df.select(
+            "url_canon",
+            F.col("w").isNotNull().alias("won"),
+            F.col("w.host").alias("host"),
+            F.col("w.hop").alias("hop"),
+            F.col("w.seed_id").alias("seed_id"),
+            F.col("w.trans_hops").alias("trans_hops"),
+            F.col("w.priority").alias("priority"),
+            "n_disc", "n_reject", "_any_host",
+        )
+
+    def _timed(make, finish):
+        t0 = time.time()
+        df = finish(make())
+        n = df.count()
+        dt = time.time() - t0
+        df.unpersist()
+        return dt, n
+
+    def force_pin(mode):
+        # the engine's actual materialization modes for the aggregate pin
+        if mode == "ckpt":
+            return _timed(full, lambda d: d.localCheckpoint())
+        if mode == "ckpt_narrow":
+            return _timed(full, lambda d: _narrow(d).localCheckpoint())
+        if mode == "persist_narrow":
+            return _timed(full, lambda d: _narrow(d).persist())
+        raise ValueError(mode)
+
+    # CAUTION (measured the hard way): forcing these plans with .count()
+    # lets Catalyst PRUNE the winner-struct and scope expressions out of
+    # the aggregate entirely — count-only timings of an agg measure almost
+    # nothing. Honest timings below materialize every column via the
+    # engine's own pin op (eager localCheckpoint), then unpersist.
+    def cheapscope_ckpt():
+        c = (
+            candidates()
+            .join(
+                F.broadcast(
+                    seed_domains.withColumn("_seed_dom", F.lit(True))
+                ),
+                "reg_domain", "left",
+            )
+            .withColumn(
+                "in_scope", F.coalesce(F.col("_seed_dom"), F.lit(False))
+            )
+            .drop("_seed_dom")
+        )
+        return winner_agg(c)
+
+    def noembed_ckpt():
+        # full scope, but candidates() without the is_embed parse_url
+        c = resolved().select(
+            F.col("cand_canon").alias("url_canon"),
+            (F.col("hop") + 1).cast("int").alias("hop"),
+            "seed_id", "fetch_start_ms", "disc_host", "disc_url",
+            F.col("cand_host").alias("host"),
+            F.col("cand_reg_domain").alias("reg_domain"),
+            F.lit(0).cast("int").alias("trans_hops"),
+            F.col("cash").alias("priority"),
+        )
+        return winner_agg(apply_scope(c, seed_domains, robots, cfg))
+
+    def countagg_ckpt():
+        return (
+            apply_scope(candidates(), seed_domains, robots, cfg)
+            .groupBy("url_canon")
+            .agg(
+                F.sum(F.when(F.col("in_scope"), 1).otherwise(0)).alias(
+                    "n_disc"
+                ),
+                F.max("host").alias("_any_host"),
+            )
+        )
+
+    def oldscope_ckpt():
+        # the pre-r5 scope: 4x parse_url (one java.net.URI each, boxed,
+        # CodegenFallback) + interpreted HOF aggregate/filter per row —
+        # reconstructed on try_parse_url so invalid URLs don't throw
+        url = F.col("url_canon")
+
+        def pth():
+            return F.try_parse_url(url, F.lit("PATH"))
+
+        segs = F.filter(F.split(pth(), "/"), lambda s: s != "")
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"), F.lit(0).alias("best"),
+        )
+
+        def step(acc, seg):
+            nr = F.when(seg == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1)
+            )
+            return F.struct(seg.alias("prev"), nr.alias("run"),
+                            F.greatest(acc["best"], nr).alias("best"))
+
+        max_run = F.aggregate(segs, init, step, lambda a: a["best"])
+        c = (
+            candidates()
+            .join(
+                F.broadcast(
+                    seed_domains.withColumn("_seed_dom", F.lit(True))
+                ),
+                "reg_domain", "left",
+            )
+            .join(
+                F.broadcast(robots.select("host", "disallow_prefixes")),
+                "host", "left",
+            )
+        )
+        seed_ok = F.coalesce(F.col("_seed_dom"), F.lit(False)) & (
+            F.col("hop") <= cfg.max_hops
+        )
+        trans_ok = (F.col("trans_hops") >= 1) & (
+            F.col("trans_hops") <= cfg.max_trans_hops
+        )
+        rej = F.lit(False)
+        for pat in cfg.reject_url_regexes:
+            rej = rej | url.rlike(pat)
+        late = (
+            (F.size(segs) > cfg.max_path_depth)
+            | (max_run > cfg.max_repetitions)
+            | F.col("host").rlike("|".join(cfg.blacklist_hosts))
+            | rej
+            | F.when(
+                F.col("disallow_prefixes").isNull(), F.lit(False)
+            ).otherwise(
+                F.exists(
+                    "disallow_prefixes",
+                    lambda p: F.coalesce(pth(), F.lit("/")).startswith(p),
+                )
+            )
+        )
+        in_scope = F.coalesce(pth(), F.lit("/")).isin(
+            *cfg.prerequisite_paths
+        ) | (~late & (trans_ok | seed_ok))
+        c = c.withColumn("in_scope", in_scope).drop(
+            "_seed_dom", "disallow_prefixes"
+        )
+        return winner_agg(c)
+
+    honest = {
+        "full": full,
+        "oldscope": oldscope_ckpt,
+        "cheapscope": cheapscope_ckpt,
+        "noembed": noembed_ckpt,
+        "nowinner": countagg_ckpt,
+    }
+
+    def force_ckpt(make):
+        t0 = time.time()
+        df = make().localCheckpoint()
+        n = df.count()
+        dt = time.time() - t0
+        df.unpersist()
+        return dt, n
+
+    for v in honest.values():
+        force_ckpt(v)  # warm
+    print(f"events={n_events}", flush=True)
     for i in range(3):
         parts = []
-        for name, v in variants.items():
-            t, n = force(v())
+        for name, v in honest.items():
+            t, n = force_ckpt(v)
             parts.append(f"{name} {t:.2f}s")
-        print(f"round {i}: " + "  ".join(parts))
+        t, _ = force(resolve())
+        parts.append(f"resolve {t:.2f}s")
+        print(f"round {i}: " + "  ".join(parts), flush=True)
     spark.stop()
 
 
