@@ -10,9 +10,12 @@ One epoch = one Spark job pipeline:
      (RE2-classified in-batch: resolve+canonicalize+explode+page dedup)
      ──scope rules (JVM exprs) + ONE groupBy(url)──► first-discoverer
      winner, in-scope dupe count, per-host reject count (fused pass)
-     ──bloom prefilter + base-presence left join + delta anti-join──►
-     admitted (pinned once; three commit writes branch off it)
-     ──► frontier ∪ admitted ; snapshot commit (atomic manifest)
+     ──bloom prefilter (broadcast probe under the size gate, cogrouped
+     Arrow above it) + base-presence left join + delta anti-join──►
+     admitted (pinned once; the commit writes branch off it)
+     ──► frontier ∪ admitted ; snapshot commit (atomic manifest);
+     per-host metrics written BEHIND the commit (one tagged-union agg,
+     staged on a side thread, registered at the next commit)
 
 Parallelism-independence: every nondeterministic boundary is closed by an
 explicit total order — per-host queue order (hop, url_canon), global fetch
