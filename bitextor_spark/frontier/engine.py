@@ -160,6 +160,7 @@ class FrontierEngine:
         self._is_local = spark.sparkContext.master.startswith("local")
         self._epoch_pins: list[DataFrame] = []
         self._bloom_bcast = None  # per-compaction flag broadcast cache
+        self._bloom_bcast_future = None  # in-flight post-compaction rebuild
         # (path, future, pins) of a metrics delta written behind its
         # epoch's commit; registered at the next commit or flushed
         self._pending_metrics = None
@@ -193,6 +194,11 @@ class FrontierEngine:
                 pass
         self._epoch_pins = []
 
+    def _bloom_gate_ok(self) -> bool:
+        cfg = self.cfg
+        total = cfg.num_host_shards * (cfg.bloom_bits_per_shard // 8)
+        return total <= cfg.bloom_broadcast_bytes
+
     def _bloom_flag_broadcast(self):
         """Broadcast of the folded bloom shard blobs for the narrow flag
         pass, rebuilt once per COMPACTION (the only event that changes the
@@ -200,18 +206,42 @@ class FrontierEngine:
         bloom_pending delta, which the admission path anti-joins exactly).
         Returns None when the total bitmap size exceeds
         ``cfg.bloom_broadcast_bytes`` (north-star multi-GB bitmaps): the
-        cogrouped-Arrow flag path runs instead."""
-        cfg = self.cfg
-        total = cfg.num_host_shards * (cfg.bloom_bits_per_shard // 8)
-        if total > cfg.bloom_broadcast_bytes:
+        cogrouped-Arrow flag path runs instead.
+
+        The collect+broadcast never lands on the epoch's serial path: it
+        prebuilds at bootstrap, and after a compaction a background thread
+        rebuilds it while the next epoch's candidate/walk/discovery phases
+        run (the flag pass, its only consumer, comes late in the epoch)."""
+        if not self._bloom_gate_ok():
             return None
+        if self._bloom_bcast is None and self._bloom_bcast_future is not None:
+            self._bloom_bcast = self._bloom_bcast_future.result()
+            self._bloom_bcast_future = None
         if self._bloom_bcast is None:
             self._bloom_bcast = seen_mod.broadcast_blooms(
                 self.spark, self._load("blooms")
             )
         return self._bloom_bcast
 
+    def _rebuild_bloom_broadcast_async(self) -> None:
+        """Kick off the post-compaction broadcast rebuild off-thread."""
+        if not self._bloom_gate_ok():
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        self._bloom_bcast_future = pool.submit(
+            seen_mod.broadcast_blooms, self.spark, self._load("blooms")
+        )
+        pool.shutdown(wait=False)
+
     def _invalidate_bloom_broadcast(self) -> None:
+        if self._bloom_bcast_future is not None:
+            try:
+                self._bloom_bcast_future.result().destroy()
+            except Exception:
+                pass
+            self._bloom_bcast_future = None
         if self._bloom_bcast is not None:
             try:
                 self._bloom_bcast.destroy()
@@ -229,6 +259,8 @@ class FrontierEngine:
         # synthesizing/caching the world is setup, not crawl work
         self.pages.count()
         if self.catalog.latest_snapshot_id() is not None:
+            if self.use_bloom:
+                self._rebuild_bloom_broadcast_async()  # resume: warm off-epoch
             return
         cfg = self.cfg
         # materialize the (tiny) seed pipeline once: every downstream action
@@ -316,6 +348,10 @@ class FrontierEngine:
                   "queued": (n_seeds := frontier.count()),
                   "frontier_rows": n_seeds, "done": False},
         )
+        if self.use_bloom:
+            # prebuild the flag broadcast at setup time so epoch 0 never
+            # pays the collect on its serial path
+            self._rebuild_bloom_broadcast_async()
 
     def _with_global_seq(
         self, events: DataFrame, n_events: int, seq_offset: int
@@ -1624,8 +1660,11 @@ class FrontierEngine:
         self._pending_metrics = (metrics_path, metrics_future, metrics_pins)
         if compact and self.use_bloom:
             # the commit above replaced the bloom base: next epoch's flag
-            # pass must see the folded bitmaps, not the stale broadcast
+            # pass must see the folded bitmaps, not the stale broadcast —
+            # rebuild in the background while the next epoch's early
+            # phases run (the flag pass comes late in the epoch)
             self._invalidate_bloom_broadcast()
+            self._rebuild_bloom_broadcast_async()
         self.last_timings = {k: v for k, v in _t.items() if k != '_start'}
         tracker = self.spark.sparkContext.statusTracker()
         try:
