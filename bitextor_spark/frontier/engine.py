@@ -158,6 +158,16 @@ class FrontierEngine:
             .cache()
         )
         self._is_local = spark.sparkContext.master.startswith("local")
+        # Catalyst constraint propagation is superlinear in plan width and
+        # the epoch DAG is ~200 operators of driver-side analysis per
+        # epoch; disabling it is semantics-neutral (it only ADDS inferred
+        # filters) and measured ~7% off the 3-epoch bench-world crawl wall
+        # (interleaved 16-core A/B, r5). Session-wide runtime conf — set
+        # it back after construction to override.
+        try:
+            spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        except Exception:
+            pass
         self._epoch_pins: list[DataFrame] = []
         self._bloom_bcast = None  # per-compaction flag broadcast cache
         self._bloom_bcast_future = None  # in-flight post-compaction rebuild
